@@ -1,24 +1,91 @@
 package graft
+
+import graft.plans.DedupPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. The flagship metric is the full dedup pipeline
+  * (normalize → signatures → LSH banding → candidates → verify → CC) over
+  * pages derived from the sf documents table (3 variants per doc).
+  */
 object Bench {
+
+  def buildSpark(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+    .getOrCreate()
+
+  /** The timed benchmark queries (a subset of SparkEntry.queries — the
+    * pipeline run subsumes the stage-level queries).
+    */
+  val benchNames: Seq[String] = Seq(
+    "q_dedup_clusters", "q_token_count", "q_top_tokens", "q_exact_dup_groups",
+    "q_quality_counts", "q_token_jaccard_pairs", "q_ann_topk", "q_normalize",
+    "q_minhash_signatures", "q_lang_id", "q_fingerprint")
+
+  def timeQuery(spark: SparkSession, name: String, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def pageCount(spark: SparkSession, sfDir: String): Long =
+    graft.pages.PagesSource.fromDocuments(spark, sfDir, variants = 2).count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSpark(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val nPages = pageCount(spark, sfDir)
+    val results = benchNames.map(n => n -> timeQuery(spark, n, sfDir))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val pipeSec = results.toMap.getOrElse("q_dedup_clusters", -1.0)
+    val docsPerSec = if (pipeSec > 0) nPages / pipeSec else -1.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$nPages,"pipeline_docs_per_sec":${f"$docsPerSec%.1f"},"cpus":"$cpus"}""")
     spark.stop()
+  }
+}
+
+/** Scaling evidence for the north rule's two-cluster-size criterion:
+  * identical pipeline job at local[8] and local[32] on the same input;
+  * reports docs/sec at both and the scaling efficiency
+  * (throughput ratio / core ratio). Results land in BENCH/BASELINE.md.
+  */
+object ScalingBench {
+  def runOnce(cpus: Int, sfDir: String, variants: Int): (Long, Double) = {
+    val spark = Bench.buildSpark(cpus.toString)
+    spark.sparkContext.setLogLevel("WARN")
+    val pages = graft.pages.PagesSource.fromDocuments(spark, sfDir, variants)
+    val n = pages.count()
+    val runDir = s"/tmp/graft_scaling_${cpus}_${System.nanoTime()}"
+    val t0 = System.nanoTime()
+    DedupPipeline.run(spark, pages, runDir, DedupConfig.balanced, resume = false).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (n, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val variants = sys.env.getOrElse("SPARK_GRAFT_VARIANTS", "2").toInt
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CPU_LO", "8").toInt
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPU_HI", "32").toInt
+    // warm-up at lo to take JIT/classloading out of the comparison
+    runOnce(lo, sfDir, variants)
+    val (n1, sLo) = runOnce(lo, sfDir, variants)
+    val (_, sHi) = runOnce(hi, sfDir, variants)
+    val thrLo = n1 / sLo
+    val thrHi = n1 / sHi
+    val eff = (thrHi / thrLo) / (hi.toDouble / lo.toDouble)
+    println(f"""{"pages":$n1,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$sLo%.2f,"sec_hi":$sHi%.2f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"scaling_efficiency":$eff%.3f}""")
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+/** Engine configuration — mirrors the reference's parity knobs
+  * (BASELINE.md §b; /root/reference/src/pipelines/near_duplicate.py:27-37,
+  * /root/reference/src/cli_nd.py:575-621, src/ensemble/arbiter.py:45-46).
+  * Defaults are the "balanced, calibration OFF" CLI configuration that the
+  * recall target is defined against.
+  */
+final case class DedupConfig(
+    // ---- shingling / signatures (parity surface) ----
+    shingleSize: Int = 3,            // near_duplicate.py:33
+    numPerm: Int = 64,               // near_duplicate.py:34
+    lshThreshold: Double = 0.6,      // near_duplicate.py:35
+    simhashBits: Int = 128,          // simhash_model.py:211
+    maxTokenWeight: Int = 255,       // simhash_model.py:210
+    minTokenLen: Int = 2,
+    // ---- decision thresholds (balanced preset, calibration OFF) ----
+    thrSimhash: Double = 0.75,       // cli_nd.py:586
+    thrMinhash: Double = 0.75,       // cli_nd.py:587
+    thrEmbedCosine: Double = 0.988,  // cli_nd.py:588
+    requireAgreement: Int = 2,       // arbiter.py:45
+    embedEnabled: Boolean = true,
+    embedDim: Int = 384,             // embed_model.py:66
+    // ---- candidate generation / skew handling ----
+    maxCandidatesPerDoc: Int = 2000, // near_duplicate.py:36
+    maxBucketSize: Int = 2000,       // ours: mega-bucket guard (logged drop)
+    // ---- suffix-array shared-span pass (north-rule addition) ----
+    spanPassEnabled: Boolean = true,
+    spanMinChars: Int = 200,         // span length reported as "long"
+    spanCandidateMinJaccard: Double = 0.05, // only near-miss pairs get the SA pass
+    spanMaxTextChars: Int = 20000,   // per-doc cap for the SA build
+    spanAsDuplicate: Boolean = false, // OFF = label parity with the reference
+    // ---- misc ----
+    seed: Long = 13L                 // base.py:146
+) {
+
+  /** Effective consensus requirement — arbiter.py:254-258. */
+  def requiredVotes: Int = {
+    val learners = if (embedEnabled) 3 else 2
+    math.max(1, math.min(requireAgreement, learners))
+  }
+
+  /** Stable hash of the config for stage-resume checks. */
+  def configHash: String = {
+    val s = this.toString
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"${b & 0xFF}%02x").mkString
+  }
+}
+
+object DedupConfig {
+  /** Parity config used by correctness gates. */
+  val balanced: DedupConfig = DedupConfig()
+  /** "high precision" CLI preset — cli_nd.py:591-595. */
+  val high: DedupConfig = DedupConfig(thrSimhash = 0.88, thrMinhash = 0.88, thrEmbedCosine = 0.994)
+  /** "recall" CLI preset — cli_nd.py:596-600. */
+  val recall: DedupConfig = DedupConfig(thrSimhash = 0.60, thrMinhash = 0.60, thrEmbedCosine = 0.975)
+}

@@ -1,0 +1,83 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k via a broadcast of the (small)
+  *   query side — the correctness baseline.
+  * - `lshTopK`: random-hyperplane LSH buckets (sign bits of fixed seeded
+  *   projections) restrict the join to same-bucket pairs — the scale path:
+  *   the full cross product never materializes, the bucket join shuffles on
+  *   the bucket key, and probes = multi-band OR amplification.
+  * - `cosineNearDup`: near-duplicate pairs by embedding cosine >= threshold,
+  *   LSH-bucketed.
+  */
+object Ann {
+
+  /** Cosine via SQL builtins (codegen'd, no UDF): dot / (norm*norm). */
+  private def cosineExpr(a: String, b: String) = {
+    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    val na = expr(s"sqrt(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val nb = expr(s"sqrt(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for every query vector (queries broadcast). */
+  def bruteForceTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                     k: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"query_id" =!= $"nbr_id")
+      .withColumn("cosine", cosineExpr("query_vec", "nbr_vec"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"nbr_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"nbr_id", $"cosine", $"rank")
+  }
+
+  /** Deterministic random hyperplanes: proj(p)(d) from splitmix64. */
+  private def hyperplaneSql(dim: Int, bitsPerBand: Int, band: Int, vecCol: String): org.apache.spark.sql.Column = {
+    // bucket = sign bits of `bitsPerBand` projections packed into a long
+    val bits = (0 until bitsPerBand).map { bit =>
+      val terms = (0 until dim).map { d =>
+        val h = graft.pages.PagesSource.mix64(band.toLong * 100003L + bit.toLong * 1009L + d)
+        // map to {-1, +1} deterministically
+        val sign = if ((h & 1L) == 1L) "+" else "-"
+        s"$sign CAST($vecCol[$d] AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << bit}L ELSE 0L END)"
+    }.mkString(" + ")
+    expr(bits)
+  }
+
+  /** Same-bucket candidate pairs under multi-band hyperplane LSH, scored
+    * with exact cosine — the scalable near-dup / ANN candidate source.
+    */
+  def lshCandidates(spark: SparkSession, vectors: DataFrame, dim: Int,
+                    bands: Int = 4, bitsPerBand: Int = 12,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = (0 until bands).map { b =>
+      base.withColumn("band", lit(b)).withColumn("bucket", hyperplaneSql(dim, bitsPerBand, b, "vec"))
+    }.reduce(_ union _)
+    val l = banded.select($"band", $"bucket", $"id".as("a"), $"vec".as("va"))
+    val r = banded.select($"band".as("band2"), $"bucket".as("bucket2"), $"id".as("b"), $"vec".as("vb"))
+    l.join(r, $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
+      .select($"a", $"b", $"va", $"vb").distinct()
+      .withColumn("cosine", cosineExpr("va", "vb"))
+      .select($"a", $"b", $"cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed. */
+  def cosineNearDup(spark: SparkSession, vectors: DataFrame, dim: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    lshCandidates(spark, vectors, dim, idCol = idCol, vecCol = vecCol)
+      .filter(col("cosine") >= threshold)
+  }
+}

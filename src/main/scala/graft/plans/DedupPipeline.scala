@@ -1,0 +1,335 @@
+package graft.plans
+
+import graft.DedupConfig
+import graft.cc.ConnectedComponents
+import graft.hash.XXH64
+import graft.lsh.LshParams
+import graft.model.Schemas._
+import graft.norm.TextNorm
+import graft.sa.SuffixLCS
+import graft.sig.{CheapEmbed, MinHashSig, SimHash}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end near-duplicate detection + clustering pipeline.
+  *
+  * Spark shape (SURVEY.md §3.1): table scan → normalize select → signature
+  * mapPartitions → band explode/groupBy (shuffle 1) → bucket self-join
+  * (shuffle 2) → pair verify join back to signatures (shuffle 3) → decision
+  * select → CC iterations → writes. Stage boundaries are the checkpoint /
+  * resume points; per-stage, per-partition lineage is written alongside
+  * outputs (north rule).
+  *
+  * Scale notes:
+  *  - Signatures carry HASHED shingle sets (sorted distinct xxh64), not
+  *    shingle strings — pair verification is a merge-count, and the join
+  *    payload stays small.
+  *  - The embedding learner only decides pairs where exactly need-1 of the
+  *    other votes fired (arbiter consensus is monotone), so embeddings are
+  *    computed for that small pair subset only, never for the whole corpus.
+  *  - Mega-buckets (boilerplate-heavy pages) are dropped with a logged
+  *    metric, mirroring the reference's per-doc candidate caps
+  *    (near_duplicate.py:36-37,408-417); AQE skew-join handles the rest.
+  */
+object DedupPipeline {
+
+  final val ShingleHashSeed = 0x5EED5EEDL
+
+  // ---------- per-doc pure functions ----------
+
+  def normalizeDoc(url: String, text: String, lang: String): DocNorm = {
+    val norm = TextNorm.normalize(text)
+    val toks = TextNorm.tokenize(norm)
+    DocNorm(url, norm, TextNorm.exactHash(norm), TextNorm.contentHash(norm), toks.length, lang)
+  }
+
+  def signDoc(d: DocNorm, conf: DedupConfig, as: Array[Long], bs: Array[Long]): DocSig = {
+    val toks = TextNorm.tokenize(d.norm_text, conf.minTokenLen)
+    val sh = TextNorm.wordShingles(toks, conf.shingleSize)
+    val hashes = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hashes(i) = XXH64.hashString(sh(i), ShingleHashSeed); i += 1 }
+    val distinctSorted = hashes.distinct.sorted
+    val mh = MinHashSig.signature(distinctSorted, as, bs)
+    val simToks = TextNorm.simhashTokens(d.norm_text, conf.minTokenLen)
+    val s = SimHash.fromTokens(simToks, conf.maxTokenWeight, conf.simhashBits)
+    DocSig(d.url, d.exact_hash, distinctSorted.length, distinctSorted, mh, s.hi, s.lo)
+  }
+
+  // ---------- stages ----------
+
+  /** Stage 1: normalize. */
+  def normalizeStage(spark: SparkSession, pages: Dataset[Page]): Dataset[DocNorm] = {
+    import spark.implicits._
+    // F1: drop empty-text docs up front (near_duplicate.py:103)
+    pages.filter(p => p.text != null && p.text.trim.nonEmpty)
+      .mapPartitions(_.map(p => normalizeDoc(p.url, p.text, p.lang)))
+  }
+
+  /** Stage 2: signatures (MinHash + SimHash + hashed shingle set). */
+  def signatureStage(spark: SparkSession, norm: Dataset[DocNorm], conf: DedupConfig): Dataset[DocSig] = {
+    import spark.implicits._
+    val numPerm = conf.numPerm
+    val seed = conf.seed
+    val c = conf
+    norm.mapPartitions { it =>
+      val (as, bs) = MinHashSig.permutations(numPerm, seed)
+      it.map(d => signDoc(d, c, as, bs))
+    }
+  }
+
+  /** Stage 3: LSH banding — explode each signature into b (band, bucket) keys. */
+  def bandingStage(spark: SparkSession, sigs: Dataset[DocSig], conf: DedupConfig): Dataset[BandRow] = {
+    import spark.implicits._
+    val LshParams.BandsRows(b, r) = LshParams.optimal(conf.lshThreshold, conf.numPerm)
+    sigs.flatMap { s =>
+      val rows = new Array[BandRow](b)
+      var band = 0
+      while (band < b) {
+        rows(band) = BandRow(band, XXH64.hashLongs(s.minhash, band * r, band * r + r, band.toLong), s.url)
+        band += 1
+      }
+      rows
+    }
+  }
+
+  /** Stage 4: candidate pairs — bucket self-join with mega-bucket guard and
+    * per-doc caps. Returns (pairs, droppedBucketCount).
+    */
+  def candidateStage(spark: SparkSession, bands: Dataset[BandRow], conf: DedupConfig): (Dataset[CandPair], Long) = {
+    import spark.implicits._
+    val sizes = bands.groupBy($"band", $"bucket").count()
+    val dropped = sizes.filter($"count" > conf.maxBucketSize).count()
+    val ok = sizes.filter($"count" >= 2 && $"count" <= conf.maxBucketSize)
+      .select($"band".as("jband"), $"bucket".as("jbucket"))
+    val bx = bands.toDF().join(ok, $"band" === $"jband" && $"bucket" === $"jbucket")
+      .select($"band", $"bucket", $"url")
+    val left = bx.select($"band", $"bucket", $"url".as("a"))
+    val right = bx.select($"band".as("band2"), $"bucket".as("bucket2"), $"url".as("b"))
+    val pairs = left.join(right,
+        $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
+      .select($"a", $"b").distinct()
+    // Per-doc candidate cap (near_duplicate.py:408): deterministic via
+    // ordered row_number, drops logged by the caller via count delta.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"a").orderBy($"b")
+    val capped = pairs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= conf.maxCandidatesPerDoc)
+      .select($"a", $"b").as[CandPair]
+    (capped, dropped)
+  }
+
+  /** Star edges for exact-duplicate groups: (group-min url) -> member.
+    * Equivalent to all intra-group pairs for clustering, but O(n) not
+    * O(n^2) — the arbiter's exact short-circuit (arbiter.py:358-394) done
+    * set-wise.
+    */
+  def exactEdges(spark: SparkSession, norm: Dataset[DocNorm]): DataFrame = {
+    import spark.implicits._
+    val roots = norm.groupBy($"exact_hash").agg(min($"url").as("root"), count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    norm.select($"url", $"exact_hash".as("eh")).join(roots, $"eh" === $"exact_hash")
+      .filter($"url" =!= $"root")
+      .select($"root".as("a"), $"url".as("b"))
+  }
+
+  /** Stage 5: verify + decide. Pure column math for the two signature
+    * learners; embedding + suffix-array span pass computed only for the
+    * pair subset whose outcome depends on them.
+    */
+  def verifyStage(spark: SparkSession, cands: Dataset[CandPair], sigs: Dataset[DocSig],
+                  norm: Dataset[DocNorm], conf: DedupConfig): Dataset[Verdict] = {
+    import spark.implicits._
+
+    val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      MinHashSig.jaccardSorted(a.toArray, b.toArray))
+
+    val sa = sigs.select($"url".as("a_url"), $"shingles".as("a_sh"),
+      $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
+    val sb = sigs.select($"url".as("b_url"), $"shingles".as("b_sh"),
+      $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
+
+    val bits = conf.simhashBits
+    val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
+      bit_count($"a_lo".bitwiseXOR($"b_lo"))).as("hamming")
+
+    val base = cands.toDF()
+      .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
+      .withColumn("exact", $"a_eh" === $"b_eh")
+      .withColumn("jaccard", jaccardUdf($"a_sh", $"b_sh"))
+      .withColumn("hamming", hammingCol)
+      .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
+      .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
+      .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
+      .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))
+      .select($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim",
+        $"vote_sim", $"vote_min", $"votes_base")
+
+    val need = conf.requiredVotes
+
+    // Subset that still needs per-text work: embedding tiebreak and/or the
+    // suffix-array span pass.
+    val needEmb = !$"exact" && lit(conf.embedEnabled) && ($"votes_base" === (need - 1))
+    val wouldBeNonDup = !$"exact" && ($"votes_base" < need) &&
+      !(lit(conf.embedEnabled) && $"votes_base" === (need - 1))
+    val needSpan = lit(conf.spanPassEnabled) &&
+      ($"jaccard" >= conf.spanCandidateMinJaccard) && (needEmb || wouldBeNonDup)
+
+    val subset = base.filter(needEmb || needSpan)
+      .withColumn("do_emb", needEmb).withColumn("do_span", needSpan)
+      .select($"a", $"b", $"do_emb", $"do_span")
+
+    val na = norm.select($"url".as("na_url"), $"norm_text".as("a_text"))
+    val nb = norm.select($"url".as("nb_url"), $"norm_text".as("b_text"))
+
+    val dim = conf.embedDim
+    val spanCap = conf.spanMaxTextChars
+    val heavy: DataFrame = subset
+      .join(na, $"a" === $"na_url").join(nb, $"b" === $"nb_url")
+      .select($"a", $"b", $"do_emb", $"do_span", $"a_text", $"b_text")
+      .as[(String, String, Boolean, Boolean, String, String)]
+      .mapPartitions { it =>
+        val embCache = new java.util.HashMap[String, Array[Float]]()
+        def embOf(url: String, text: String): Array[Float] = {
+          var e = embCache.get(url)
+          if (e == null) { e = CheapEmbed.embed(text, dim); embCache.put(url, e) }
+          e
+        }
+        it.map { case (a, b, doEmb, doSpan, at, bt) =>
+          val cos = if (doEmb) Some(CheapEmbed.cosine(embOf(a, at), embOf(b, bt))) else None
+          val span = if (doSpan)
+            SuffixLCS.longestCommonSubstring(
+              if (at.length > spanCap) at.substring(0, spanCap) else at,
+              if (bt.length > spanCap) bt.substring(0, spanCap) else bt)
+          else 0
+          (a, b, cos, span)
+        }
+      }.toDF("ha", "hb", "emb_cos", "shared_span_len")
+
+    val thrEmb = conf.thrEmbedCosine
+    val spanDup = conf.spanAsDuplicate
+    val spanMin = conf.spanMinChars
+
+    val joined = base.join(heavy, $"a" === $"ha" && $"b" === $"hb", "left")
+      .withColumn("shared_span_len", coalesce($"shared_span_len", lit(0)))
+      // Embedding vote (arbiter.py:260-320, uncalibrated): backstop
+      // cos >= cosine_threshold OR (cos+1)/2 >= cosine_threshold.
+      .withColumn("vote_emb", coalesce(
+        ($"emb_cos" >= thrEmb) || ((($"emb_cos" + 1.0) / 2.0) >= thrEmb), lit(false)))
+      .withColumn("votes",
+        when($"exact", lit(3))
+          .otherwise($"votes_base" + $"vote_emb".cast("int")))
+
+    val labeled = joined
+      .withColumn("is_dup",
+        $"exact" || ($"votes" >= need) ||
+          (lit(spanDup) && $"shared_span_len" >= spanMin))
+      .withColumn("final_label", when($"is_dup", "DUPLICATE").otherwise("NON_DUPLICATE"))
+      .withColumn("dup_kind",
+        when($"exact", "EXACT").when($"is_dup", "NEAR").otherwise(lit(null).cast("string")))
+      .withColumn("reason",
+        when($"exact", "exact_content_match")
+          .when($"is_dup" && ($"votes" >= need), "duplicate_by_consensus")
+          .when($"is_dup", "shared_span")
+          .otherwise("confident_non_duplicate"))
+
+    labeled.select($"a", $"b",
+        when($"a" <= $"b", concat($"a", lit("||"), $"b"))
+          .otherwise(concat($"b", lit("||"), $"a")).as("pair_key"),
+        $"exact", $"jaccard", $"hamming", $"sim_sim", $"emb_cos",
+        $"votes", $"shared_span_len", $"final_label", $"dup_kind", $"reason")
+      .as[Verdict]
+  }
+
+  /** Stage 6: clustering — CC over DUPLICATE edges plus exact-group star
+    * edges; cluster id = min member url; singletons excluded.
+    */
+  def clusterStage(spark: SparkSession, verdicts: Dataset[Verdict], exEdges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dupEdges = verdicts.filter($"final_label" === "DUPLICATE").select($"a", $"b")
+      .union(exEdges.select($"a", $"b"))
+    val comps = ConnectedComponents.run(spark, dupEdges)
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "comp")
+      .filter($"cluster_size" >= 2)
+      .select($"url", $"comp".as("cluster_id"), $"cluster_size")
+  }
+
+  // ---------- orchestration with persist / resume / lineage ----------
+
+  final case class StageResult(name: String, rows: Long, wallMs: Long, skipped: Boolean)
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stageDone(spark: SparkSession, dir: String, confHash: String): Boolean = {
+    val f = fs(spark, dir)
+    f.exists(new Path(dir, "_SUCCESS")) && f.exists(new Path(dir, s"_graft_conf_$confHash"))
+  }
+
+  private def markStage(spark: SparkSession, dir: String, confHash: String): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(dir, s"_graft_conf_$confHash"), true)
+    out.write(confHash.getBytes("UTF-8")); out.close()
+  }
+
+  private def writeLineage(spark: SparkSession, runDir: String, runId: String, stage: String,
+                           confHash: String, df: DataFrame, wallMs: Long): Unit = {
+    import spark.implicits._
+    df.groupBy(spark_partition_id().as("partition_id")).agg(count(lit(1)).as("rows"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("stage", lit(stage))
+      .withColumn("wall_ms", lit(wallMs))
+      .withColumn("config_hash", lit(confHash))
+      .write.mode(SaveMode.Overwrite).parquet(s"$runDir/lineage/$stage")
+  }
+
+  /** Run (or resume) the full pipeline. Every stage persists to
+    * `$runDir/<stage>` and is skipped on re-run when its output and config
+    * marker are present — the north rule's checkpoint-based resume.
+    */
+  def run(spark: SparkSession, pages: Dataset[Page], runDir: String,
+          conf: DedupConfig = DedupConfig.balanced,
+          resume: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val ch = conf.configHash
+    val runId = s"run_$ch"
+
+    def stage[T](name: String)(compute: => DataFrame): DataFrame = {
+      val dir = s"$runDir/$name"
+      if (resume && stageDone(spark, dir, ch)) {
+        spark.read.parquet(dir)
+      } else {
+        val t0 = System.nanoTime()
+        compute.write.mode(SaveMode.Overwrite).parquet(dir)
+        val ms = (System.nanoTime() - t0) / 1000000
+        val written = spark.read.parquet(dir)
+        writeLineage(spark, runDir, runId, name, ch, written, ms)
+        markStage(spark, dir, ch)
+        written
+      }
+    }
+
+    val normDf = stage("01_norm") { normalizeStage(spark, pages).toDF() }
+    val norm = normDf.as[DocNorm]
+
+    val sigDf = stage("02_sig") { signatureStage(spark, norm, conf).toDF() }
+    val sigs = sigDf.as[DocSig]
+
+    val bandDf = stage("03_bands") { bandingStage(spark, sigs, conf).toDF() }
+    val bands = bandDf.as[BandRow]
+
+    val candDf = stage("04_cand") {
+      val (pairs, droppedBuckets) = candidateStage(spark, bands, conf)
+      spark.sparkContext.setLocalProperty("graft.droppedBuckets", droppedBuckets.toString)
+      pairs.toDF()
+    }
+    val cands = candDf.as[CandPair]
+
+    val verdictDf = stage("05_verdicts") { verifyStage(spark, cands, sigs, norm, conf).toDF() }
+
+    stage("06_clusters") {
+      clusterStage(spark, verdictDf.as[Verdict], exactEdges(spark, norm))
+    }
+  }
+}
