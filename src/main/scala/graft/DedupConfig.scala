@@ -11,6 +11,15 @@ final case class DedupConfig(
     shingleSize: Int = 3,            // near_duplicate.py:33
     numPerm: Int = 64,               // near_duplicate.py:34
     lshThreshold: Double = 0.6,      // near_duplicate.py:35
+    // Band-derivation FP/FN weights. datasketch defaults to (0.5, 0.5) →
+    // (b=10, r=6) at threshold 0.6/64 perms, whose candidate recall at the
+    // decision boundary (J ≈ 0.75-0.85, where every reference NEAR dup
+    // lives) is only 0.88-0.99 — too lossy for the ≥0.99 dup-pair recall
+    // target. Weighting false negatives 0.9 yields (b=16, r=4):
+    // P(candidate | J=0.76) ≈ 0.9985 at 1.6x banding rows. Candidate-side
+    // only; decision semantics are untouched.
+    lshFpWeight: Double = 0.1,
+    lshFnWeight: Double = 0.9,
     simhashBits: Int = 128,          // simhash_model.py:211
     maxTokenWeight: Int = 255,       // simhash_model.py:210
     minTokenLen: Int = 2,

@@ -45,14 +45,29 @@ object DedupPipeline {
   }
 
   def signDoc(d: DocNorm, conf: DedupConfig, as: Array[Long], bs: Array[Long]): DocSig = {
-    val toks = TextNorm.tokenize(d.norm_text, conf.minTokenLen)
-    val sh = TextNorm.wordShingles(toks, conf.shingleSize)
-    val hashes = new Array[Long](sh.length)
+    // One whitespace split serves both learners: the SimHash tokenizer keeps
+    // every token of length >= minTokenLen (empty stopword set —
+    // simhash_model.py:48), the MinHash tokenizer additionally drops the
+    // default stopwords (text_preproc.py:126-151).
+    val simToks = TextNorm.simhashTokens(d.norm_text, conf.minTokenLen)
+    val toks = simToks.filterNot(TextNorm.DefaultStopwords)
+    // Shingle identity via hash-combining the per-token hashes — the
+    // distinct-set semantics equal the reference's string shingles (a
+    // deterministic injective-modulo-collision encoding), with no
+    // per-shingle string allocation.
+    val k = conf.shingleSize
+    val tokHashes = new Array[Long](toks.length)
     var i = 0
-    while (i < sh.length) { hashes(i) = XXH64.hashString(sh(i), ShingleHashSeed); i += 1 }
+    while (i < toks.length) { tokHashes(i) = XXH64.hashString(toks(i), ShingleHashSeed); i += 1 }
+    val nSh = if (k <= 1) toks.length else math.max(0, toks.length - k + 1)
+    val hashes = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      hashes(i) = if (k <= 1) tokHashes(i) else XXH64.hashLongs(tokHashes, i, i + k, k.toLong)
+      i += 1
+    }
     val distinctSorted = hashes.distinct.sorted
     val mh = MinHashSig.signature(distinctSorted, as, bs)
-    val simToks = TextNorm.simhashTokens(d.norm_text, conf.minTokenLen)
     val s = SimHash.fromTokens(simToks, conf.maxTokenWeight, conf.simhashBits)
     DocSig(d.url, d.exact_hash, distinctSorted.length, distinctSorted, mh, s.hi, s.lo)
   }
@@ -82,7 +97,8 @@ object DedupPipeline {
   /** Stage 3: LSH banding — explode each signature into b (band, bucket) keys. */
   def bandingStage(spark: SparkSession, sigs: Dataset[DocSig], conf: DedupConfig): Dataset[BandRow] = {
     import spark.implicits._
-    val LshParams.BandsRows(b, r) = LshParams.optimal(conf.lshThreshold, conf.numPerm)
+    val LshParams.BandsRows(b, r) =
+      LshParams.optimal(conf.lshThreshold, conf.numPerm, conf.lshFpWeight, conf.lshFnWeight)
     sigs.flatMap { s =>
       val rows = new Array[BandRow](b)
       var band = 0
