@@ -38,11 +38,21 @@ object Bench {
   def pageCount(spark: SparkSession, sfDir: String): Long =
     graft.pages.PagesSource.fromDocuments(spark, sfDir, variants = 2).count()
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = buildSpark(cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    // the shared pipeline dir persists across runs via resume markers;
+    // remove it so q_dedup_clusters times a full cold pipeline
+    deleteRecursively(new java.io.File(
+      s"/tmp/graft_pipe_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"))
 
     val nPages = pageCount(spark, sfDir)
     val results = benchNames.map(n => n -> timeQuery(spark, n, sfDir))
@@ -61,10 +71,37 @@ object Bench {
   * (throughput ratio / core ratio). Results land in BENCH/BASELINE.md.
   */
 object ScalingBench {
+  /** Expand each page's text to Common-Crawl-like size (~2-4 KB) by
+    * appending a deterministic mixture of other documents' texts. The
+    * sandbox sf tables carry ~300-char snippets; per-doc CPU at that size
+    * is unrepresentative of web pages and the run degenerates into
+    * fixed-overhead measurement.
+    */
+  def expandPages(spark: org.apache.spark.sql.SparkSession,
+                  pages: org.apache.spark.sql.Dataset[graft.model.Schemas.Page],
+                  sfDir: String, factor: Int): org.apache.spark.sql.Dataset[graft.model.Schemas.Page] = {
+    import spark.implicits._
+    if (factor <= 1) return pages
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+    val bc = spark.sparkContext.broadcast(texts)
+    pages.map { p =>
+      val n = bc.value.length
+      // key the mixture on the page's base doc id so a family's variants
+      // share their appended text (duplicate structure is preserved)
+      val baseId = p.url.split("/doc/")(1).split("/")(0).toLong
+      val h = (math.abs(graft.pages.PagesSource.mix64(baseId)) % n).toInt
+      val extra = (1 until factor).map(j => bc.value((h + j * 37) % n))
+      p.copy(text = (p.text +: extra).mkString(" "))
+    }
+  }
+
   def runOnce(cpus: Int, sfDir: String, variants: Int): (Long, Double) = {
     val spark = Bench.buildSpark(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
-    val pages = graft.pages.PagesSource.fromDocuments(spark, sfDir, variants)
+    val expand = sys.env.getOrElse("SPARK_GRAFT_EXPAND", "8").toInt
+    val pages = expandPages(spark,
+      graft.pages.PagesSource.fromDocuments(spark, sfDir, variants), sfDir, expand)
     val n = pages.count()
     val runDir = s"/tmp/graft_scaling_${cpus}_${System.nanoTime()}"
     val t0 = System.nanoTime()

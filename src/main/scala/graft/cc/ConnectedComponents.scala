@@ -30,6 +30,7 @@ object ConnectedComponents {
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
       .distinct()
+      .localCheckpoint()
 
     var labels = sym.select($"u".as("url")).distinct()
       .withColumn("comp", $"url")
@@ -38,19 +39,20 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over neighbor labels
-      val nbrMin = sym.join(labels.withColumnRenamed("url", "v2"), $"v" === $"v2")
-        .groupBy($"u").agg(min($"comp").as("nmin"))
-
-      val step1 = labels.join(nbrMin, labels("url") === nbrMin("u"), "left")
-        .select(labels("url"), least($"comp", coalesce($"nmin", $"comp")).as("comp"),
-          $"comp".as("prev"))
+      // One pass: neighbor labels plus a tagged self-message, so the same
+      // aggregation yields both the new min label and the previous label
+      // (no extra join just to detect convergence).
+      val msgs = sym.join(labels.withColumnRenamed("url", "v2"), $"v" === $"v2")
+        .select($"u", $"comp", lit(false).as("self"))
+        .union(labels.select($"url".as("u"), $"comp", lit(true).as("self")))
+      val agg = msgs.groupBy($"u")
+        .agg(min($"comp").as("comp"), max(when($"self", $"comp")).as("prev"))
 
       // pointer jumping: comp := min(comp, label(comp))
-      val compOf = step1.select($"url".as("curl"), $"comp".as("ccomp"))
-      val step2 = step1.join(compOf, step1("comp") === compOf("curl"), "left")
-        .select(step1("url"),
-          least(step1("comp"), coalesce($"ccomp", step1("comp"))).as("comp"),
+      val compOf = agg.select($"u".as("curl"), $"comp".as("ccomp"))
+      val step2 = agg.join(compOf, agg("comp") === compOf("curl"), "left")
+        .select(agg("u").as("url"),
+          least(agg("comp"), coalesce($"ccomp", agg("comp"))).as("comp"),
           $"prev")
 
       val next = step2.localCheckpoint()

@@ -41,6 +41,7 @@ object Schemas {
   final case class Verdict(a: String, b: String, pair_key: String,
                            exact: Boolean, jaccard: Double, hamming: Int,
                            sim_sim: Double, emb_cos: Option[Double],
+                           vote_sim: Boolean, vote_min: Boolean, vote_emb: Boolean,
                            votes: Int, shared_span_len: Int,
                            final_label: String, dup_kind: Option[String],
                            reason: String)

@@ -114,9 +114,16 @@ object PagesSource {
     */
   def fromDocuments(spark: SparkSession, sfDir: String, variants: Int = 3): Dataset[Page] = {
     import spark.implicits._
+    // The sandbox sf tables are single small parquet files = one input
+    // split; fan the doc list out to the session's parallelism so the
+    // per-doc CPU work (normalize/sign) scales with cores. On a real
+    // cluster the input is already thousands of splits and this coalesces
+    // to a no-op-sized shuffle of (id, text) rows.
+    val par = math.max(spark.sparkContext.defaultParallelism * 2, 8)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("long"), $"text", $"lang", $"source")
       .as[(Long, String, String, String)]
+      .repartition(par)
     val v = variants
     docs.flatMap { case (id, text, lang, source) =>
       val site = (id % 20).toInt

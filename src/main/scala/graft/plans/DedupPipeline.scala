@@ -116,6 +116,7 @@ object DedupPipeline {
   def candidateStage(spark: SparkSession, bands: Dataset[BandRow], conf: DedupConfig): (Dataset[CandPair], Long) = {
     import spark.implicits._
     val sizes = bands.groupBy($"band", $"bucket").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = sizes.filter($"count" > conf.maxBucketSize).count()
     val ok = sizes.filter($"count" >= 2 && $"count" <= conf.maxBucketSize)
       .select($"band".as("jband"), $"bucket".as("jbucket"))
@@ -135,18 +136,26 @@ object DedupPipeline {
     (capped, dropped)
   }
 
-  /** Star edges for exact-duplicate groups: (group-min url) -> member.
-    * Equivalent to all intra-group pairs for clustering, but O(n) not
-    * O(n^2) — the arbiter's exact short-circuit (arbiter.py:358-394) done
-    * set-wise.
+  /** url -> exact-group representative (lexicographic min url of the
+    * exact-hash group). The arbiter's exact short-circuit
+    * (arbiter.py:358-394) done set-wise: members of a group are duplicates
+    * of the rep by definition, so only reps go through LSH — identical
+    * signatures never meet in a bucket (the single worst skew source for
+    * boilerplate-heavy corpora), and exact pairs never burn candidate
+    * budget. O(n) star edges replace O(n^2) intra-group pairs.
     */
-  def exactEdges(spark: SparkSession, norm: Dataset[DocNorm]): DataFrame = {
+  def repMap(spark: SparkSession, norm: Dataset[DocNorm]): DataFrame = {
     import spark.implicits._
-    val roots = norm.groupBy($"exact_hash").agg(min($"url").as("root"), count(lit(1)).as("n"))
-      .filter($"n" >= 2)
-    norm.select($"url", $"exact_hash".as("eh")).join(roots, $"eh" === $"exact_hash")
-      .filter($"url" =!= $"root")
-      .select($"root".as("a"), $"url".as("b"))
+    val roots = norm.groupBy($"exact_hash").agg(min($"url").as("rep"))
+    norm.select($"url", $"exact_hash".as("eh"))
+      .join(roots, $"eh" === $"exact_hash")
+      .select($"url", $"rep")
+  }
+
+  /** Star edges for exact-duplicate groups: rep -> member. */
+  def exactEdges(spark: SparkSession, reps: DataFrame): DataFrame = {
+    import spark.implicits._
+    reps.filter($"url" =!= $"rep").select($"rep".as("a"), $"url".as("b"))
   }
 
   /** Stage 5: verify + decide. Pure column math for the two signature
@@ -191,8 +200,17 @@ object DedupPipeline {
     val needSpan = lit(conf.spanPassEnabled) &&
       ($"jaccard" >= conf.spanCandidateMinJaccard) && (needEmb || wouldBeNonDup)
 
+    // the SA pass is advisory (spanAsDuplicate off = parity) — budget it
+    // per doc so boilerplate-heavy corpora can't drown the verify stage
+    val spanW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a").orderBy($"jaccard".desc, $"b")
     val subset = base.filter(needEmb || needSpan)
       .withColumn("do_emb", needEmb).withColumn("do_span", needSpan)
+      .withColumn("span_rn",
+        sum(when(needSpan, 1).otherwise(0)).over(
+          spanW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("do_span", needSpan && $"span_rn" <= conf.spanMaxPairsPerDoc)
+      .filter($"do_emb" || $"do_span")
       .select($"a", $"b", $"do_emb", $"do_span")
 
     val na = norm.select($"url".as("na_url"), $"norm_text".as("a_text"))
@@ -204,8 +222,13 @@ object DedupPipeline {
       .join(na, $"a" === $"na_url").join(nb, $"b" === $"nb_url")
       .select($"a", $"b", $"do_emb", $"do_span", $"a_text", $"b_text")
       .as[(String, String, Boolean, Boolean, String, String)]
+      // CPU-heavy per row (embedding + suffix array), not byte-heavy: AQE
+      // coalesces this shuffle down by size and would serialize the work —
+      // spread it across the full parallelism explicitly
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .mapPartitions { it =>
         val embCache = new java.util.HashMap[String, Array[Float]]()
+        val ws = new SuffixLCS.Workspace(2 * spanCap + 1)
         def embOf(url: String, text: String): Array[Float] = {
           var e = embCache.get(url)
           if (e == null) { e = CheapEmbed.embed(text, dim); embCache.put(url, e) }
@@ -216,7 +239,7 @@ object DedupPipeline {
           val span = if (doSpan)
             SuffixLCS.longestCommonSubstring(
               if (at.length > spanCap) at.substring(0, spanCap) else at,
-              if (bt.length > spanCap) bt.substring(0, spanCap) else bt)
+              if (bt.length > spanCap) bt.substring(0, spanCap) else bt, ws)
           else 0
           (a, b, cos, span)
         }
@@ -253,22 +276,31 @@ object DedupPipeline {
         when($"a" <= $"b", concat($"a", lit("||"), $"b"))
           .otherwise(concat($"b", lit("||"), $"a")).as("pair_key"),
         $"exact", $"jaccard", $"hamming", $"sim_sim", $"emb_cos",
+        ($"exact" || $"vote_sim").as("vote_sim"),
+        ($"exact" || $"vote_min").as("vote_min"),
+        ($"exact" || $"vote_emb").as("vote_emb"),
         $"votes", $"shared_span_len", $"final_label", $"dup_kind", $"reason")
       .as[Verdict]
   }
 
-  /** Stage 6: clustering — CC over DUPLICATE edges plus exact-group star
-    * edges; cluster id = min member url; singletons excluded.
+  /** Stage 6: clustering. CC runs ONLY over the rep-level near-duplicate
+    * edges (tiny compared to the corpus); exact members then attach to
+    * their rep's component with one join — equivalent to CC over
+    * near-edges ∪ star-edges because a rep is the min url of its group.
+    * Cluster id = min member url; singletons excluded
+    * (near_duplicate.py:364-371).
     */
-  def clusterStage(spark: SparkSession, verdicts: Dataset[Verdict], exEdges: DataFrame): DataFrame = {
+  def clusterStage(spark: SparkSession, verdicts: Dataset[Verdict], reps: DataFrame): DataFrame = {
     import spark.implicits._
-    val dupEdges = verdicts.filter($"final_label" === "DUPLICATE").select($"a", $"b")
-      .union(exEdges.select($"a", $"b"))
-    val comps = ConnectedComponents.run(spark, dupEdges)
-    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
-    comps.join(sizes, "comp")
+    val nearEdges = verdicts.filter($"final_label" === "DUPLICATE").select($"a", $"b")
+    val repComp = ConnectedComponents.run(spark, nearEdges)
+      .select($"url".as("rep2"), $"comp")
+    val assigned = reps.join(repComp, $"rep" === $"rep2", "left")
+      .select($"url", coalesce($"comp", $"rep").as("cluster_id"))
+    val sizes = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
       .filter($"cluster_size" >= 2)
-      .select($"url", $"comp".as("cluster_id"), $"cluster_size")
+      .select($"url", $"cluster_id", $"cluster_size")
   }
 
   // ---------- orchestration with persist / resume / lineage ----------
@@ -329,23 +361,30 @@ object DedupPipeline {
     val normDf = stage("01_norm") { normalizeStage(spark, pages).toDF() }
     val norm = normDf.as[DocNorm]
 
-    val sigDf = stage("02_sig") { signatureStage(spark, norm, conf).toDF() }
+    val repsDf = stage("02_reps") { repMap(spark, norm) }
+
+    // signatures / banding / verification run on exact-group reps only —
+    // members are attached via the rep map at cluster time
+    val repNorm = norm.join(repsDf.filter($"url" === $"rep").select($"rep"),
+      norm("url") === $"rep").drop("rep").as[DocNorm]
+
+    val sigDf = stage("03_sig") { signatureStage(spark, repNorm, conf).toDF() }
     val sigs = sigDf.as[DocSig]
 
-    val bandDf = stage("03_bands") { bandingStage(spark, sigs, conf).toDF() }
+    val bandDf = stage("04_bands") { bandingStage(spark, sigs, conf).toDF() }
     val bands = bandDf.as[BandRow]
 
-    val candDf = stage("04_cand") {
+    val candDf = stage("05_cand") {
       val (pairs, droppedBuckets) = candidateStage(spark, bands, conf)
       spark.sparkContext.setLocalProperty("graft.droppedBuckets", droppedBuckets.toString)
       pairs.toDF()
     }
     val cands = candDf.as[CandPair]
 
-    val verdictDf = stage("05_verdicts") { verifyStage(spark, cands, sigs, norm, conf).toDF() }
+    val verdictDf = stage("06_verdicts") { verifyStage(spark, cands, sigs, repNorm, conf).toDF() }
 
-    stage("06_clusters") {
-      clusterStage(spark, verdictDf.as[Verdict], exactEdges(spark, norm))
+    stage("07_clusters") {
+      clusterStage(spark, verdictDf.as[Verdict], repsDf)
     }
   }
 }

@@ -13,22 +13,40 @@ package graft.sa
   */
 object SuffixLCS extends Serializable {
 
+  /** Reusable scratch buffers — one per partition/thread. At 32 local
+    * threads the per-pair array churn otherwise turns the verify stage
+    * allocation-bound.
+    */
+  final class Workspace(maxLen: Int) {
+    val s = new Array[Int](maxLen)
+    val rank = new Array[Int](maxLen)
+    val packed = new Array[Long](maxLen)
+    val sa = new Array[Int](maxLen)
+    val lcp = new Array[Int](maxLen)
+    val inv = new Array[Int](maxLen)
+  }
+
   /** Length (in chars) of the longest common substring of a and b. */
   def longestCommonSubstring(a: String, b: String): Int = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0
+    longestCommonSubstring(a, b, new Workspace(a.length + b.length + 1))
+  }
+
+  def longestCommonSubstring(a: String, b: String, ws: Workspace): Int = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return 0
     val n1 = a.length
     val n = n1 + 1 + b.length
     // Rank alphabet: chars of a, sentinel 0, chars of b. Normalized text
     // contains no NUL; map chars to code+1 to keep 0 as unique sentinel.
-    val s = new Array[Int](n)
+    val s = ws.s
     var i = 0
     while (i < n1) { s(i) = a.charAt(i) + 1; i += 1 }
     s(n1) = 0
     i = 0
     while (i < b.length) { s(n1 + 1 + i) = b.charAt(i) + 1; i += 1 }
 
-    val sa = suffixArray(s)
-    val lcp = kasai(s, sa)
+    val sa = suffixArrayInto(s, n, ws)
+    val lcp = kasaiInto(s, n, sa, ws)
 
     var best = 0
     i = 1
@@ -41,56 +59,69 @@ object SuffixLCS extends Serializable {
     best
   }
 
-  /** Prefix-doubling suffix array over an int sequence (values >= 0). */
+  /** Prefix-doubling suffix array over an int sequence (values >= 0,
+    * length < 2^21 ≈ 2M — far above the capped pair-text sizes).
+    *
+    * Each doubling round packs (rank, rank+k, index) into one long and
+    * sorts a primitive array — no boxing, no comparator dispatch.
+    */
   def suffixArray(s: Array[Int]): Array[Int] = {
-    val n = s.length
-    val sa = Array.tabulate(n)(identity)
-    var rank = s.clone()
-    var tmp = new Array[Int](n)
+    val out = suffixArrayInto(s, s.length, new Workspace(s.length))
+    java.util.Arrays.copyOf(out, s.length)
+  }
+
+  private def suffixArrayInto(s: Array[Int], n: Int, ws: Workspace): Array[Int] = {
+    require(n < (1 << 21), s"suffix array input too long: $n")
+    val rank = ws.rank
+    val packed = ws.packed
+    val sa = ws.sa
+    var i = 0
+    while (i < n) { rank(i) = s(i); i += 1 }
     var k = 1
-    val boxed = sa.map(Integer.valueOf) // sort via java for speed/stability
-    while (k < n) {
-      val kk = k
-      val r = rank
-      val cmp = new java.util.Comparator[Integer] {
-        override def compare(ai: Integer, bi: Integer): Int = {
-          val x = ai.intValue(); val y = bi.intValue()
-          if (r(x) != r(y)) return Integer.compare(r(x), r(y))
-          val rx = if (x + kk < n) r(x + kk) else -1
-          val ry = if (y + kk < n) r(y + kk) else -1
-          Integer.compare(rx, ry)
-        }
-      }
-      java.util.Arrays.sort(boxed, cmp)
-      tmp(boxed(0)) = 0
-      var i = 1
+    var done = false
+    while (!done) {
+      i = 0
       while (i < n) {
-        tmp(boxed(i)) = tmp(boxed(i - 1)) + (if (cmp.compare(boxed(i - 1), boxed(i)) < 0) 1 else 0)
+        val r2 = if (i + k < n) rank(i + k) + 1 else 0 // 0 = "past end", sorts first
+        packed(i) = (rank(i).toLong << 42) | (r2.toLong << 21) | i.toLong
         i += 1
       }
-      val t = rank; rank = tmp; tmp = t
-      if (rank(boxed(n - 1)) == n - 1) k = n // all ranks distinct -> done
-      else k <<= 1
+      java.util.Arrays.sort(packed, 0, n)
+      // reassign ranks from the sorted (rank, rank2) keys
+      val keyMask = ~((1L << 21) - 1)
+      var newRank = 0
+      i = 0
+      while (i < n) {
+        val idx = (packed(i) & ((1L << 21) - 1)).toInt
+        if (i > 0 && (packed(i) & keyMask) != (packed(i - 1) & keyMask)) newRank += 1
+        rank(idx) = newRank
+        sa(i) = idx
+        i += 1
+      }
+      if (newRank == n - 1 || k >= n) done = true else k <<= 1
     }
-    var i = 0
-    while (i < n) { sa(i) = boxed(i).intValue(); i += 1 }
     sa
   }
 
   /** Kasai LCP: lcp(i) = LCP(suffix sa(i-1), suffix sa(i)); lcp(0) = 0. */
   def kasai(s: Array[Int], sa: Array[Int]): Array[Int] = {
-    val n = s.length
-    val rank = new Array[Int](n)
+    val out = kasaiInto(s, s.length, sa, new Workspace(s.length))
+    java.util.Arrays.copyOf(out, s.length)
+  }
+
+  private def kasaiInto(s: Array[Int], n: Int, sa: Array[Int], ws: Workspace): Array[Int] = {
+    val inv = ws.inv
     var i = 0
-    while (i < n) { rank(sa(i)) = i; i += 1 }
-    val lcp = new Array[Int](n)
+    while (i < n) { inv(sa(i)) = i; i += 1 }
+    val lcp = ws.lcp
+    java.util.Arrays.fill(lcp, 0, n, 0)
     var h = 0
     i = 0
     while (i < n) {
-      if (rank(i) > 0) {
-        val j = sa(rank(i) - 1)
+      if (inv(i) > 0) {
+        val j = sa(inv(i) - 1)
         while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
-        lcp(rank(i)) = h
+        lcp(inv(i)) = h
         if (h > 0) h -= 1
       } else h = 0
       i += 1

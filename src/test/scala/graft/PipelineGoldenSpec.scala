@@ -56,10 +56,14 @@ class PipelineGoldenSpec extends AnyFunSuite {
 
   test("verdict labels agree with reference decisions on shared pairs") {
     import spark.implicits._
-    val verdicts = spark.read.parquet("/tmp/graft_test_pipeline/05_verdicts")
+    val verdicts = spark.read.parquet("/tmp/graft_test_pipeline/06_verdicts")
       .select($"pair_key", $"final_label").as[(String, String)].collect().toMap
+    // Verdicts are rep-level (exact-group members never reach LSH; they
+    // attach via the rep map), so only golden pairs between group reps can
+    // appear here. Exhaustive pair-level decision parity over all 3302
+    // golden pairs lives in DecisionParitySpec.
     val shared = GoldenFixtures.goldenDecisions.filter(d => verdicts.contains(d.pairKey))
-    assert(shared.size > 300, s"too few shared pairs (${shared.size}) for a meaningful check")
+    assert(shared.size > 100, s"too few shared pairs (${shared.size}) for a meaningful check")
     val disagree = shared.filter(d => verdicts(d.pairKey) != d.label)
     val rate = 1.0 - disagree.size.toDouble / shared.size
     info(f"shared pairs: ${shared.size}, agreement: $rate%.5f")
@@ -81,7 +85,7 @@ class PipelineGoldenSpec extends AnyFunSuite {
   test("lineage rows exist for every stage partition") {
     val lineage = spark.read.parquet("/tmp/graft_test_pipeline/lineage/*")
     val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).sorted
-    assert(stages.toSeq == Seq("01_norm", "02_sig", "03_bands", "04_cand", "05_verdicts", "06_clusters"))
+    assert(stages.toSeq == Seq("01_norm", "02_reps", "03_sig", "04_bands", "05_cand", "06_verdicts", "07_clusters"))
     assert(lineage.filter(col("rows") < 0).count() == 0)
   }
 }

@@ -33,38 +33,38 @@ class ResumeSpec extends AnyFunSuite {
 
     val first = DedupPipeline.run(spark, pagesDs, dir, DedupConfig.balanced, resume = true)
       .collect().map(_.toString).sorted
-    val sigTimes = partMtimes(s"$dir/02_sig")
-    val candTimes = partMtimes(s"$dir/04_cand")
+    val sigTimes = partMtimes(s"$dir/03_sig")
+    val candTimes = partMtimes(s"$dir/05_cand")
     assert(sigTimes.nonEmpty)
 
     val second = DedupPipeline.run(spark, pagesDs, dir, DedupConfig.balanced, resume = true)
       .collect().map(_.toString).sorted
     assert(second.toSeq == first.toSeq)
-    assert(partMtimes(s"$dir/02_sig") == sigTimes, "signature stage was recomputed on resume")
-    assert(partMtimes(s"$dir/04_cand") == candTimes, "candidate stage was recomputed on resume")
+    assert(partMtimes(s"$dir/03_sig") == sigTimes, "signature stage was recomputed on resume")
+    assert(partMtimes(s"$dir/05_cand") == candTimes, "candidate stage was recomputed on resume")
   }
 
   test("mid-pipeline kill resumes from completed stages only") {
     val dir = "/tmp/graft_test_resume_kill"
     TestUtil.deleteRecursively(new File(dir))
     DedupPipeline.run(spark, pagesDs, dir, DedupConfig.balanced, resume = true).count()
-    // simulate a crash after stage 03: later outputs lost
-    TestUtil.deleteRecursively(new File(s"$dir/04_cand"))
-    TestUtil.deleteRecursively(new File(s"$dir/05_verdicts"))
-    TestUtil.deleteRecursively(new File(s"$dir/06_clusters"))
-    val sigTimes = partMtimes(s"$dir/02_sig")
+    // simulate a crash after stage 04: later outputs lost
+    TestUtil.deleteRecursively(new File(s"$dir/05_cand"))
+    TestUtil.deleteRecursively(new File(s"$dir/06_verdicts"))
+    TestUtil.deleteRecursively(new File(s"$dir/07_clusters"))
+    val sigTimes = partMtimes(s"$dir/03_sig")
     val out = DedupPipeline.run(spark, pagesDs, dir, DedupConfig.balanced, resume = true)
     assert(out.count() > 0)
-    assert(partMtimes(s"$dir/02_sig") == sigTimes, "completed stage recomputed after crash-resume")
-    assert(new File(s"$dir/06_clusters/_SUCCESS").exists())
+    assert(partMtimes(s"$dir/03_sig") == sigTimes, "completed stage recomputed after crash-resume")
+    assert(new File(s"$dir/07_clusters/_SUCCESS").exists())
   }
 
   test("config change invalidates stage outputs") {
     val dir = "/tmp/graft_test_resume_conf"
     TestUtil.deleteRecursively(new File(dir))
     DedupPipeline.run(spark, pagesDs, dir, DedupConfig.balanced, resume = true).count()
-    val sigTimes = partMtimes(s"$dir/02_sig")
+    val sigTimes = partMtimes(s"$dir/03_sig")
     DedupPipeline.run(spark, pagesDs, dir, DedupConfig.recall, resume = true).count()
-    assert(partMtimes(s"$dir/02_sig") != sigTimes, "config change must recompute stages")
+    assert(partMtimes(s"$dir/03_sig") != sigTimes, "config change must recompute stages")
   }
 }
