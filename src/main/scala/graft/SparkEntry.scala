@@ -298,6 +298,23 @@ object SparkEntry {
         .select(col("pair_key"), col("pseudo").cast("int").as("pseudo"))
         .orderBy("pair_key")
     }),
+    "q_calibrated_verdicts" -> ((s, dir) => {
+      // K1-K6 + A6: bootstrap calibration feeding the calibrated arbiter
+      // with gray-zone escalation
+      import s.implicits._
+      val rd = pipelineRunDir(s, dir)
+      val norm = s.read.parquet(s"$rd/01_norm").as[graft.model.Schemas.DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[graft.model.Schemas.DocSig]
+      val cands = s.read.parquet(s"$rd/05_cand").as[graft.model.Schemas.CandPair]
+      val params = graft.plans.Bootstrap.learnerParams(s, norm, sigs, DedupConfig.balanced,
+        maxPos = 5000, maxNeg = 5000)
+      graft.plans.CalibratedDedup.verify(s, cands, sigs, norm, DedupConfig.balanced, params)
+        .toDF()
+        .select(col("pair_key"), col("final_label"), col("reason"),
+          col("sim_prob"), col("min_prob"), col("emb_prob"),
+          concat_ws(",", col("escalation_steps")).as("steps"))
+        .orderBy("pair_key")
+    }),
     "q_embed_near_dup" -> ((s, dir) => {
       // the sandbox embeddings top out at cosine ~0.51; 0.45 exercises the
       // operator with a non-empty result

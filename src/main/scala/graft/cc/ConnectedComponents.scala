@@ -27,9 +27,14 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import spark.implicits._
 
+    // The CC working set is tiny next to the corpus and each round is
+    // latency-bound; a handful of partitions keeps per-round task overhead
+    // flat regardless of the session's shuffle parallelism.
+    val ccParts = math.max(2, math.min(8, spark.sparkContext.defaultParallelism / 4))
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
       .distinct()
+      .repartition(ccParts, $"u")
       .localCheckpoint()
 
     var labels = sym.select($"u".as("url")).distinct()

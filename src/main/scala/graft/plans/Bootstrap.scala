@@ -30,9 +30,9 @@ object Bootstrap {
     * are resolved through the exact-group rep, which is exact because group
     * members share the rep's normalized text byte-for-byte.
     */
-  def calibrate(spark: SparkSession, norm: Dataset[DocNorm], sigs: Dataset[DocSig],
-                conf: DedupConfig, maxPos: Int = 50000, maxNeg: Int = 50000,
-                targetPrecision: Double = 0.98): Seq[LearnerCalibration] = {
+  def calibrateWithParams(spark: SparkSession, norm: Dataset[DocNorm], sigs: Dataset[DocSig],
+                          conf: DedupConfig, maxPos: Int = 50000, maxNeg: Int = 50000,
+                          targetPrecision: Double = 0.98): Seq[(LearnerCalibration, Calibration.Params)] = {
     import spark.implicits._
 
     val groups = norm.groupBy($"exact_hash")
@@ -102,7 +102,20 @@ object Bootstrap {
       ("minhash", scored.map(_._3)),
       ("embedding", scored.map(_._4))).map { case (name, s) =>
       val p = Calibration.calibrateAdaptive(s, labels, targetPrecision)
-      LearnerCalibration(name, p.method, p.threshold, p.brier, nPos, nNeg)
+      (LearnerCalibration(name, p.method, p.threshold, p.brier, nPos, nNeg), p)
     }
+  }
+
+  /** Summary rows (for reporting/queries). */
+  def calibrate(spark: SparkSession, norm: Dataset[DocNorm], sigs: Dataset[DocSig],
+                conf: DedupConfig, maxPos: Int, maxNeg: Int): Seq[LearnerCalibration] =
+    calibrateWithParams(spark, norm, sigs, conf, maxPos, maxNeg).map(_._1)
+
+  /** Full per-learner calibration params for the calibrated arbiter. */
+  def learnerParams(spark: SparkSession, norm: Dataset[DocNorm], sigs: Dataset[DocSig],
+                    conf: DedupConfig, maxPos: Int = 50000, maxNeg: Int = 50000): CalibratedDedup.LearnerParams = {
+    val m = calibrateWithParams(spark, norm, sigs, conf, maxPos, maxNeg)
+      .map { case (c, p) => c.learner -> p }.toMap
+    CalibratedDedup.LearnerParams(m("simhash"), m("minhash"), m("embedding"))
   }
 }
