@@ -102,6 +102,52 @@ object ScalingBench {
     }
   }
 
+  /** Build a session for an executor-JVM cluster emulation:
+    * `local-cluster[workers,coresPerWorker,memMB]` — separate executor
+    * JVMs on one box, the faithful proxy for the N-vs-4N-executors
+    * criterion (no shared heap). Requires SPARK_HOME for worker launch.
+    */
+  def buildClusterSpark(workers: Int, coresPerWorker: Int, memMb: Int,
+                        shufflePartitions: Int): org.apache.spark.sql.SparkSession = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar").map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    SparkSession.builder()
+      .master(s"local-cluster[$workers,$coresPerWorker,$memMb]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", s"${memMb - 512}m")
+      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+  }
+
+  def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,
+                     variants: Int): (Long, Double) = {
+    val spark = buildClusterSpark(workers, coresPerWorker,
+      sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker)
+    spark.sparkContext.setLogLevel("WARN")
+    val expand = sys.env.getOrElse("SPARK_GRAFT_EXPAND", "8").toInt
+    val pages = expandPages(spark,
+      graft.pages.PagesSource.fromDocuments(spark, sfDir, variants), sfDir, expand)
+    val n = pages.count()
+    val runDir = s"/tmp/graft_scaling_c${workers}x${coresPerWorker}_${System.nanoTime()}"
+    val t0 = System.nanoTime()
+    DedupPipeline.run(spark, pages, runDir, DedupConfig.balanced, resume = false).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (n, sec)
+  }
+
   def runOnce(cpus: Int, sfDir: String, variants: Int): (Long, Double) = {
     val spark = Bench.buildSpark(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
@@ -123,6 +169,28 @@ object ScalingBench {
     val lo = sys.env.getOrElse("SPARK_GRAFT_CPU_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPU_HI", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val clusterMode = sys.env.get("SPARK_GRAFT_CLUSTER").contains("1")
+
+    if (clusterMode) {
+      // N vs 4N EXECUTORS: separate executor JVMs (2x4 cores vs 8x4 cores)
+      val cpw = sys.env.getOrElse("SPARK_GRAFT_CORES_PER_WORKER", "4").toInt
+      val wLo = lo / cpw
+      val wHi = hi / cpw
+      runOnceCluster(wHi, cpw, sfDir, variants) // warm-up
+      var n1 = 0L
+      var sLo = Double.MaxValue
+      var sHi = Double.MaxValue
+      (1 to reps).foreach { _ =>
+        val (n, l) = runOnceCluster(wLo, cpw, sfDir, variants)
+        n1 = n; sLo = math.min(sLo, l)
+        val (_, h) = runOnceCluster(wHi, cpw, sfDir, variants)
+        sHi = math.min(sHi, h)
+        System.err.println(f"[scaling-cluster] lo=$sLo%.2f hi=$sHi%.2f")
+      }
+      val eff = ((n1 / sHi) / (n1 / sLo)) / (hi.toDouble / lo.toDouble)
+      println(f"""{"mode":"local-cluster","pages":$n1,"executors_lo":$wLo,"executors_hi":$wHi,"cores_per_executor":$cpw,"sec_lo":$sLo%.2f,"sec_hi":$sHi%.2f,"docs_per_sec_lo":${n1 / sLo}%.1f,"docs_per_sec_hi":${n1 / sHi}%.1f,"scaling_efficiency":$eff%.3f,"reps":$reps}""")
+      return
+    }
     // warm-up (JIT/classloading), then best-of-reps per level: the sandbox
     // hosts uncontrolled background load and single 32-thread runs are
     // noisy; min wall-clock is the standard noise-robust estimator.
