@@ -383,8 +383,41 @@ object DedupPipeline {
 
     val verdictDf = stage("06_verdicts") { verifyStage(spark, cands, sigs, repNorm, conf).toDF() }
 
-    stage("07_clusters") {
+    val clusters = stage("07_clusters") {
       clusterStage(spark, verdictDf.as[Verdict], repsDf)
     }
+
+    writeMetricsSnapshot(spark, runDir, runId, ch, verdictDf, clusters)
+    clusters
+  }
+
+  /** M11 — run-level metrics snapshot (metrics.py:212-281 shape) assembled
+    * from the persisted stage outputs and written alongside them.
+    */
+  def writeMetricsSnapshot(spark: SparkSession, runDir: String, runId: String,
+                           confHash: String, verdicts: DataFrame, clusters: DataFrame): Unit = {
+    import spark.implicits._
+    val summary = graft.metrics.Metrics.runSummary(verdicts).first()
+    val nClusters = clusters.select($"cluster_id").distinct().count()
+    val clustered = clusters.count()
+    val lineage = spark.read.parquet(s"$runDir/lineage/*")
+      .groupBy($"stage").agg(max($"wall_ms").as("ms"), sum($"rows").as("rows"))
+      .orderBy($"stage").collect()
+      .map(r => s"""{"stage":"${r.getString(0)}","wall_ms":${r.getLong(1)},"rows":${r.getLong(2)}}""")
+      .mkString("[", ",", "]")
+    val dropped = Option(spark.sparkContext.getLocalProperty("graft.droppedBuckets")).getOrElse("0")
+    val json =
+      s"""{"run_id":"$runId","config_hash":"$confHash",
+         |"total_pairs":${summary.getLong(0)},"duplicates":${summary.getLong(1)},
+         |"non_duplicates":${summary.getLong(2)},"uncertain":${summary.getLong(3)},
+         |"exact_dups":${summary.getLong(4)},"near_dups":${summary.getLong(5)},
+         |"consensus_rate":${summary.getDouble(6)},
+         |"clusters":$nClusters,"clustered_docs":$clustered,
+         |"dropped_mega_buckets":$dropped,
+         |"stages":$lineage}""".stripMargin.replace("\n", "")
+    val f = fs(spark, runDir)
+    val out = f.create(new Path(runDir, "metrics.json"), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
   }
 }

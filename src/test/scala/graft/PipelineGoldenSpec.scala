@@ -82,6 +82,15 @@ class PipelineGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("metrics snapshot is written alongside outputs") {
+    clustersByUrl // force the pipeline run
+    val f = new java.io.File("/tmp/graft_test_pipeline/metrics.json")
+    assert(f.exists())
+    val json = java.nio.file.Files.readString(f.toPath)
+    assert(json.contains("\"duplicates\":") && json.contains("\"stages\":["))
+    assert(json.contains("\"clusters\":"))
+  }
+
   test("lineage rows exist for every stage partition") {
     val lineage = spark.read.parquet("/tmp/graft_test_pipeline/lineage/*")
     val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).sorted
