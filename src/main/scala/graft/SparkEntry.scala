@@ -315,6 +315,25 @@ object SparkEntry {
           concat_ws(",", col("escalation_steps")).as("steps"))
         .orderBy("pair_key")
     }),
+    "q_simhash_modes" -> ((s, dir) => {
+      // G2/G3/G4: SimHash featurization modes — word shingles (unit-sep
+      // joiner), char n-grams, positional bucketing (simhash_model.py:198-234)
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val norm = graft.norm.TextNorm.normalize(t)
+          val toks = graft.norm.TextNorm.simhashTokens(norm)
+          val uni = graft.sig.SimHash.fromTokens(toks)
+          val wsh = graft.sig.SimHash.fromTokens(
+            graft.norm.TextNorm.wordShinglesUnitSep(toks, 3))
+          val cng = graft.sig.SimHash.fromTokens(
+            graft.norm.TextNorm.charShingles(norm, 5))
+          val posToks = toks.zipWithIndex.map { case (tk, i) => s"$tk@${i / 8}" }
+          val pos = graft.sig.SimHash.fromTokens(posToks)
+          (id, uni.hi, uni.lo, wsh.hi, wsh.lo, cng.hi, cng.lo, pos.hi, pos.lo)
+        }.toDF("doc_id", "uni_hi", "uni_lo", "wsh_hi", "wsh_lo",
+          "cng_hi", "cng_lo", "pos_hi", "pos_lo").orderBy("doc_id")
+    }),
     "q_embed_near_dup" -> ((s, dir) => {
       // the sandbox embeddings top out at cosine ~0.51; 0.45 exercises the
       // operator with a non-empty result
