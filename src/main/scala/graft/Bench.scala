@@ -66,8 +66,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val pipeSec = results.toMap.getOrElse("q_dedup_clusters", -1.0)
     val docsPerSec = if (pipeSec > 0) nPages / pipeSec else -1.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$nPages,"pipeline_docs_per_sec":${f"$docsPerSec%.1f"},"cpus":"$cpus"}""")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$nPages,"pipeline_docs_per_sec":${f"$docsPerSec%.1f"},"cpus":"$cpus"}"""
+    // redundancy for the driver: the JSON line goes to raw stdout (build.sbt
+    // sets StdoutOutput for forked runs) AND to a file next to the build
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] result file write failed: $e") }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
 

@@ -40,8 +40,22 @@ final case class DedupConfig(
     spanMaxPairsPerDoc: Int = 20,    // SA budget per doc (deterministic cap)
     spanMaxTextChars: Int = 8000,    // per-doc char cap for the SA build
     spanAsDuplicate: Boolean = false, // OFF = label parity with the reference
+    // ---- verify-stage MinHash-estimate prefilter (scale knob) ----
+    // Pairs whose signature-equality estimate falls outside (low, high)
+    // skip the exact-Jaccard shingle join: at 64 perms the estimate is
+    // >= ~4 sigma from the 0.75 vote threshold at both cutoffs, so the
+    // vote_min decision is unchanged w.h.p. while the full shingle arrays
+    // (the verify stage's dominant shuffle payload) ride only for the
+    // uncertainty band. Golden decision parity is asserted over the
+    // prefiltered pipeline (PipelineGoldenSpec).
+    estSkipLow: Double = 0.40,
+    estSkipHigh: Double = 0.97,
     // ---- misc ----
-    seed: Long = 13L                 // base.py:146
+    seed: Long = 13L,                // base.py:146
+    // Participates in configHash via toString: bump whenever a stage's
+    // OUTPUT semantics change so persisted stage dirs from older code
+    // versions fail the resume check and recompute.
+    codeVersion: Int = 2
 ) {
 
   /** Effective consensus requirement — arbiter.py:254-258. */

@@ -9,10 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator family
-  * (SURVEY.md §2), with ANSI-SQL DuckDB oracles where the semantics are
-  * SQL-expressible; signature/LSH/clustering queries are rows-only checked
-  * here and oracled against reference-generated golden fixtures in the
-  * ScalaTest suite instead.
+  * (SURVEY.md §2), with DuckDB oracles wherever the semantics are
+  * SQL-expressible. Pipeline/metrics queries are oracled by recomputing the
+  * same aggregation in DuckDB over the persisted stage parquet (the stage
+  * outputs themselves are produced by Spark and verified against
+  * reference-generated golden fixtures in the ScalaTest suite); the
+  * hash-chain queries (normalize / minhash / simhash / fingerprint /
+  * calibration) are rows-only here and golden-oracled in ScalaTest, as
+  * documented in COVERAGE.md.
   */
 object SparkEntry {
 
@@ -57,28 +61,72 @@ object SparkEntry {
       DedupConfig.balanced, resume = false)
   }
 
+  /** Deterministic per-sf-dir run dir — shared between the Spark queries and
+    * the DuckDB oracle SQL (which reads the same stage parquet).
+    */
+  def runDirFor(dir: String): String =
+    s"/tmp/graft_pipe_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** Shared pipeline run per sf dir: stage outputs persist under /tmp and
     * later queries reuse them via the resume markers (the input tables are
     * immutable), so Verify doesn't recompute the pipeline per query.
     */
   def pipelineRunDir(s: SparkSession, dir: String): String = {
-    val rd = s"/tmp/graft_pipe_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val rd = runDirFor(dir)
     val pages = PagesSource.fromDocuments(s, dir, variants = 2)
     DedupPipeline.run(s, pages, rd, DedupConfig.balanced, resume = true)
     rd
   }
 
+  /** Deterministic variants=0 pages dump (multimodal binary-column input for
+    * q_html_meta); written once per sf dir, read by Spark AND DuckDB.
+    */
+  def pagesDumpDir(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_pages_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$p/_SUCCESS").exists())
+      PagesSource.fromDocuments(s, dir, variants = 0).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** Two persisted calibration snapshots (different sample caps) feeding the
+    * M12 drift compare; DuckDB recomputes the join/deltas from the same
+    * parquet.
+    */
+  def calibSnapshotDirs(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val rd = pipelineRunDir(s, dir)
+    val prev = s"$rd/08_calib_prev"
+    val curr = s"$rd/08_calib_curr"
+    if (!new java.io.File(s"$prev/_SUCCESS").exists() ||
+        !new java.io.File(s"$curr/_SUCCESS").exists()) {
+      val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
+      val a = graft.plans.Bootstrap.calibrate(s, norm, sigs, DedupConfig.balanced,
+        maxPos = 2500, maxNeg = 2500)
+      val b = graft.plans.Bootstrap.calibrate(s, norm, sigs, DedupConfig.balanced,
+        maxPos = 5000, maxNeg = 5000)
+      s.createDataFrame(a).coalesce(1).write.mode("overwrite").parquet(prev)
+      s.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(curr)
+    }
+    (prev, curr)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---------- SQL-oracled (DuckDB parity) ----------
+    // ---------- SQL-oracled over the sf tables ----------
     "q_lang_hist" -> ((s, dir) => {
       docs(s, dir).groupBy("lang").agg(count(lit(1)).as("cnt")).orderBy("lang")
     }),
     "q_corpus_stats" -> ((s, dir) => {
+      // avg reported as integer micro-chars: DuckDB's avg() double and
+      // Spark's avg() double round differently at the last ulp (the round-1
+      // hash-mismatch); integer math is engine-independent.
       docs(s, dir).agg(
         count(lit(1)).as("doc_count"),
-        sum(col("n_chars")).as("total_chars"),
-        avg(col("n_chars")).as("avg_chars"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
         countDistinct(col("source")).as("n_sources"))
+        .select(col("doc_count"), col("total_chars"),
+          expr("(total_chars * 1000000L) div doc_count").as("avg_chars_micro"),
+          col("n_sources"))
     }),
     "q_token_count" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -131,6 +179,43 @@ object SparkEntry {
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b")
     }),
+    "q_token_jaccard_lsh" -> ((s, dir) => {
+      // scale-safe twin of q_token_jaccard_pairs: MinHash-LSH blocking
+      // (128 perms, 32 bands x 4 rows => P(miss | J=0.8) ~ 5e-8) replaces
+      // the per-group cross product; exact Jaccard only on bucket-mates.
+      // Global (not per-source), oracled against the full quadratic in
+      // DuckDB — equality IS the recall check.
+      import s.implicits._
+      val numPerm = 128; val bands = 32; val r = 4
+      val t = docs(s, dir).select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+      val sigs = t.as[(Long, Seq[String])].mapPartitions { it =>
+        val (as, bs) = graft.sig.MinHashSig.permutations(numPerm, 913L)
+        it.map { case (id, toks) =>
+          val hs = toks.iterator.map(tk => graft.hash.XXH64.hashString(tk, 0x70C5L))
+            .toArray.distinct.sorted
+          (id, graft.sig.MinHashSig.signature(hs, as, bs))
+        }
+      }
+      val bandRows = sigs.flatMap { case (id, mh) =>
+        (0 until bands).iterator.map(bd =>
+          (bd, graft.hash.XXH64.hashLongs(mh, bd * r, bd * r + r, bd.toLong), id))
+      }.toDF("band", "bucket", "id")
+      val l = bandRows.select(col("band"), col("bucket"), col("id").as("a"))
+      val rr = bandRows.select(col("band").as("band2"), col("bucket").as("bucket2"), col("id").as("b"))
+      val pairs = l.join(rr, col("band") === col("band2") &&
+          col("bucket") === col("bucket2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val ta = t.select(col("doc_id").as("pa"), col("toks").as("ta"))
+      val tb = t.select(col("doc_id").as("pb"), col("toks").as("tb"))
+      pairs.join(ta, col("a") === col("pa")).join(tb, col("b") === col("pb"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("double") - col("inter"))
+        .withColumn("jaccard", col("inter") / col("uni"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Ann.bruteForceTopK(s, e, e.filter(col("vec_id") < 20), k = 5)
@@ -145,25 +230,88 @@ object SparkEntry {
       graft.sources.Sources.dedupIngest(batch, "text", seen)
         .select(col("doc_id")).orderBy("doc_id")
     }),
-    // ---------- rows-only (non-SQL-expressible; oracled in ScalaTest
-    // against reference-generated golden fixtures) ----------
-    "q_normalize" -> ((s, dir) => {
+    "q_file_mapping" -> ((s, dir) => {
+      // S10: doc<->file mapping upsert (sqlite_store.py:156-182
+      // INSERT OR REPLACE semantics done set-wise: updates win per key)
+      val existing = docs(s, dir).select(col("doc_id"),
+        concat(lit("/data/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+        lit(0).as("ver"))
+      val updates = docs(s, dir).filter(col("doc_id") % 4 === 0).select(col("doc_id"),
+        concat(lit("/data2/"), col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+        lit(1).as("ver"))
+      graft.sources.Sources.upsertByKey(existing, updates, "doc_id").orderBy("doc_id")
+    }),
+    "q_filename_tokens" -> ((s, dir) => {
+      // N4 filename_tokens (text_preproc.py:163-170) over deterministic
+      // per-doc paths; DuckDB re-derives the same chain in SQL.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"),
+        concat(lit("/data/"), col("source"), lit("/"), col("source"), lit("_Report-"),
+          col("doc_id").cast("string"), lit("."), col("lang"), lit(".txt")).as("filename"))
+        .as[(Long, String)]
+        .flatMap { case (id, fn) =>
+          graft.norm.TextNorm.filenameTokens(fn).zipWithIndex.map { case (t, i) => (id, i, t) }
+        }
+        .toDF("doc_id", "pos", "token")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+        .map { case (id, lang, t) => (id, lang, TextOps.langId(t)) }
+        .toDF("doc_id", "lang", "pred_lang").orderBy("doc_id")
+    }),
+    "q_quality_score" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
-          val n = graft.norm.TextNorm.normalize(t)
-          (id, n, graft.norm.TextNorm.exactHash(n), graft.norm.TextNorm.contentHash(n))
-        }.toDF("doc_id", "norm_text", "exact_hash", "content_hash").orderBy("doc_id")
+          val q = TextOps.quality(t)
+          (id, q.n_chars.toLong, q.n_tokens.toLong, q.mean_token_len, q.alpha_ratio, q.digit_ratio,
+            q.punct_ratio, q.stopword_ratio, q.score)
+        }.toDF("doc_id", "n_chars", "n_tokens", "mean_token_len", "alpha_ratio",
+          "digit_ratio", "punct_ratio", "stopword_ratio", "score").orderBy("doc_id")
     }),
-    "q_minhash_signatures" -> ((s, dir) => {
-      val pages = PagesSource.fromDocuments(s, dir, variants = 0)
-      val norm = DedupPipeline.normalizeStage(s, pages)
-      DedupPipeline.signatureStage(s, norm, DedupConfig.balanced)
-        .select(col("url"), col("n_shingles"),
-          element_at(col("minhash"), 1).as("mh0"),
-          element_at(col("minhash"), 2).as("mh1"),
-          col("simhash_hi"), col("simhash_lo")).orderBy("url")
+    "q_html_meta" -> ((s, dir) => {
+      // multimodal plumbing: opaque binary column -> typed metadata; the
+      // decode (title extraction) is computed by Spark string functions and
+      // INDEPENDENTLY by DuckDB over the same parquet
+      val pq = pagesDumpDir(s, dir)
+      val h = col("html").cast("string")
+      val i = locate("<title>", h)
+      val j = locate("</title>", h)
+      s.read.parquet(pq).select(
+        col("url"),
+        length(col("html")).cast("long").as("html_bytes"),
+        when(i > 0 && j > i, h.substr(i + lit(7), j - i - lit(7))).otherwise(lit("")).as("title"),
+        col("lang"))
+        .orderBy("url")
     }),
+    "q_label_assign" -> ((s, dir) => {
+      // X5: cosine label assignment — argmax over a broadcast label matrix
+      // (classifier.py:219-247); labels = the first 5 vectors
+      val e = embeddings(s, dir)
+      val labels = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("label_id"), col("embedding").as("label_vec"))
+      val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(labels))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(embedding, label_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v) / " +
+            "(sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * " +
+            "sqrt(aggregate(label_vec, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("label_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("label_id").as("predicted_label"))
+        .orderBy("vec_id")
+    }),
+    "q_embed_near_dup" -> ((s, dir) => {
+      // the sandbox embeddings top out at cosine ~0.51; 0.45 exercises the
+      // operator with a non-empty result
+      Ann.lshCandidates(s, embeddings(s, dir), dim = 64, bands = 16, bitsPerBand = 6)
+        .filter(col("cosine") >= 0.45)
+        .orderBy("a", "b")
+    }),
+    // ---------- pipeline/metrics: DuckDB recomputes over stage parquet ----
     "q_lsh_candidates" -> ((s, dir) => {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/05_cand").orderBy("a", "b")
     }),
@@ -207,83 +355,6 @@ object SparkEntry {
         .withColumn("is_dup", (col("final_label") === "DUPLICATE").cast("int"))
       graft.metrics.Metrics.auc(v, "jaccard", "is_dup")
     }),
-    "q_bootstrap_calibration" -> ((s, dir) => {
-      import s.implicits._
-      val rd = pipelineRunDir(s, dir)
-      val norm = s.read.parquet(s"$rd/01_norm").as[graft.model.Schemas.DocNorm]
-      val sigs = s.read.parquet(s"$rd/03_sig").as[graft.model.Schemas.DocSig]
-      val cals = graft.plans.Bootstrap.calibrate(s, norm, sigs, DedupConfig.balanced,
-        maxPos = 5000, maxNeg = 5000)
-      s.createDataFrame(cals).orderBy("learner")
-    }),
-    "q_html_meta" -> ((s, dir) => {
-      // multimodal plumbing: opaque binary column -> typed metadata via a
-      // deterministic decode (title extraction from the html bytes)
-      import s.implicits._
-      PagesSource.fromDocuments(s, dir, variants = 0)
-        .map { p =>
-          val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-          val title = {
-            val i = html.indexOf("<title>")
-            val j = html.indexOf("</title>")
-            if (i >= 0 && j > i) html.substring(i + 7, j) else ""
-          }
-          (p.url, p.html.length, title, p.lang)
-        }.toDF("url", "html_bytes", "title", "lang").orderBy("url")
-    }),
-    "q_lang_id" -> ((s, dir) => {
-      import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
-        .map { case (id, lang, t) => (id, lang, TextOps.langId(t)) }
-        .toDF("doc_id", "lang", "pred_lang").orderBy("doc_id")
-    }),
-    "q_quality_score" -> ((s, dir) => {
-      import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) =>
-          val q = TextOps.quality(t)
-          (id, q.n_chars, q.n_tokens, q.mean_token_len, q.alpha_ratio, q.digit_ratio,
-            q.punct_ratio, q.stopword_ratio, q.score)
-        }.toDF("doc_id", "n_chars", "n_tokens", "mean_token_len", "alpha_ratio",
-          "digit_ratio", "punct_ratio", "stopword_ratio", "score").orderBy("doc_id")
-    }),
-    "q_fingerprint" -> ((s, dir) => {
-      import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) => (id, TextOps.fingerprint(t), TextOps.simhash64(t), TextOps.subwordCount(t)) }
-        .toDF("doc_id", "fingerprint", "simhash64", "n_subwords").orderBy("doc_id")
-    }),
-    "q_label_assign" -> ((s, dir) => {
-      // X5: cosine label assignment — argmax over a broadcast label matrix
-      // (classifier.py:219-247); labels = the first 5 vectors
-      val e = embeddings(s, dir)
-      val labels = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("label_id"), col("embedding").as("label_vec"))
-      val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(labels))
-        .withColumn("cos", expr(
-          "aggregate(zip_with(embedding, label_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v) / " +
-            "(sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * " +
-            "sqrt(aggregate(label_vec, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("label_id").asc)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("label_id").as("predicted_label"))
-        .orderBy("vec_id")
-    }),
-    "q_kmeans" -> ((s, dir) => {
-      // X3: spark.ml KMeans over the embeddings (seed 42 like the
-      // reference's classification side, cli.py:174-198)
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = embeddings(s, dir)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(8).setSeed(42).setFeaturesCol("features")
-        .fit(e)
-      model.transform(e).groupBy(col("prediction"))
-        .agg(count(lit(1)).as("cluster_size"))
-        .orderBy(col("cluster_size").desc, col("prediction"))
-        .select(col("cluster_size")) // sizes only: stable under label permutation
-    }),
     "q_pseudo_labels" -> ((s, dir) => {
       // A8: pseudo-label builder — pos if >=2 learners clear thr+0.07,
       // neg if all below thr-0.07 (arbiter.py:508-534)
@@ -298,14 +369,67 @@ object SparkEntry {
         .select(col("pair_key"), col("pseudo").cast("int").as("pseudo"))
         .orderBy("pair_key")
     }),
+    "q_token_overlap" -> ((s, dir) => {
+      // T8: multiset token intersection (simhash_model.py:263-265 rationale)
+      // for the pipeline's candidate pairs — candidate-bounded, never
+      // all-pairs; DuckDB recomputes from the same stage parquet.
+      val rd = pipelineRunDir(s, dir)
+      val toks = s.read.parquet(s"$rd/01_norm")
+        .select(col("url"), explode(split(col("norm_text"), " ")).as("token"))
+        .groupBy("url", "token").agg(count(lit(1)).as("cnt"))
+      val cands = s.read.parquet(s"$rd/05_cand")
+      cands
+        .join(toks.select(col("url").as("ua"), col("token"), col("cnt").as("cnt_a")),
+          col("a") === col("ua"))
+        .join(toks.select(col("url").as("ub"), col("token").as("token_b"), col("cnt").as("cnt_b")),
+          col("b") === col("ub") && col("token") === col("token_b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("overlap"))
+        .orderBy("a", "b")
+    }),
+    "q_drift_compare" -> ((s, dir) => {
+      // M12 calibration drift (metrics.py:136-156) between two persisted
+      // snapshots; DuckDB recomputes the join + deltas from the same parquet
+      val (prev, curr) = calibSnapshotDirs(s, dir)
+      graft.metrics.Metrics.calibrationDrift(
+        s.read.parquet(prev), s.read.parquet(curr)).orderBy("learner")
+    }),
+    // ---------- rows-only (hash chains not SQL-expressible; oracled in
+    // ScalaTest against reference-generated golden fixtures) ----------
+    "q_normalize" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val n = graft.norm.TextNorm.normalize(t)
+          (id, n, graft.norm.TextNorm.exactHash(n), graft.norm.TextNorm.contentHash(n))
+        }.toDF("doc_id", "norm_text", "exact_hash", "content_hash").orderBy("doc_id")
+    }),
+    "q_minhash_signatures" -> ((s, dir) => {
+      val pages = PagesSource.fromDocuments(s, dir, variants = 0)
+      val norm = DedupPipeline.normalizeStage(s, pages)
+      DedupPipeline.signatureStage(s, norm, DedupConfig.balanced)
+        .select(col("url"), col("n_shingles"),
+          element_at(col("minhash"), 1).as("mh0"),
+          element_at(col("minhash"), 2).as("mh1"),
+          col("simhash_hi"), col("simhash_lo")).orderBy("url")
+    }),
+    "q_bootstrap_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val rd = pipelineRunDir(s, dir)
+      val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
+      val cals = graft.plans.Bootstrap.calibrate(s, norm, sigs, DedupConfig.balanced,
+        maxPos = 5000, maxNeg = 5000)
+      s.createDataFrame(cals).orderBy("learner")
+    }),
     "q_calibrated_verdicts" -> ((s, dir) => {
       // K1-K6 + A6: bootstrap calibration feeding the calibrated arbiter
       // with gray-zone escalation
       import s.implicits._
       val rd = pipelineRunDir(s, dir)
-      val norm = s.read.parquet(s"$rd/01_norm").as[graft.model.Schemas.DocNorm]
-      val sigs = s.read.parquet(s"$rd/03_sig").as[graft.model.Schemas.DocSig]
-      val cands = s.read.parquet(s"$rd/05_cand").as[graft.model.Schemas.CandPair]
+      val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
+      val cands = s.read.parquet(s"$rd/05_cand").as[CandPair]
       val params = graft.plans.Bootstrap.learnerParams(s, norm, sigs, DedupConfig.balanced,
         maxPos = 5000, maxNeg = 5000)
       graft.plans.CalibratedDedup.verify(s, cands, sigs, norm, DedupConfig.balanced, params)
@@ -314,6 +438,26 @@ object SparkEntry {
           col("sim_prob"), col("min_prob"), col("emb_prob"),
           concat_ws(",", col("escalation_steps")).as("steps"))
         .orderBy("pair_key")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, TextOps.fingerprint(t), TextOps.simhash64(t), TextOps.subwordCount(t)) }
+        .toDF("doc_id", "fingerprint", "simhash64", "n_subwords").orderBy("doc_id")
+    }),
+    "q_kmeans" -> ((s, dir) => {
+      // X3: spark.ml KMeans over the embeddings (seed 42 like the
+      // reference's classification side, cli.py:174-198)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(8).setSeed(42).setFeaturesCol("features")
+        .fit(e)
+      model.transform(e).groupBy(col("prediction"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("cluster_size").desc, col("prediction"))
+        .select(col("cluster_size")) // sizes only: stable under label permutation
     }),
     "q_simhash_modes" -> ((s, dir) => {
       // G2/G3/G4: SimHash featurization modes — word shingles (unit-sep
@@ -333,22 +477,80 @@ object SparkEntry {
           (id, uni.hi, uni.lo, wsh.hi, wsh.lo, cng.hi, cng.lo, pos.hi, pos.lo)
         }.toDF("doc_id", "uni_hi", "uni_lo", "wsh_hi", "wsh_lo",
           "cng_hi", "cng_lo", "pos_hi", "pos_lo").orderBy("doc_id")
-    }),
-    "q_embed_near_dup" -> ((s, dir) => {
-      // the sandbox embeddings top out at cosine ~0.51; 0.45 exercises the
-      // operator with a non-empty result
-      Ann.lshCandidates(s, embeddings(s, dir), dim = 64, bands = 16, bitsPerBand = 6)
-        .filter(col("cosine") >= 0.45)
-        .orderBy("a", "b")
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // ======================= DuckDB oracle SQL =======================
+
+  private def verdictsPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/06_verdicts/*.parquet')"
+  private def clustersPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/07_clusters/*.parquet')"
+  private def candPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/05_cand/*.parquet')"
+  private def normPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/01_norm/*.parquet')"
+  private def pagesPq(dir: String) =
+    s"read_parquet('/tmp/graft_pages_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*.parquet')"
+
+  private def stopwordsInList: String =
+    graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared CTE fragment: per-distinct-score (pos, tot) + cumulative counts
+    * over strictly-smaller scores — the DuckDB mirror of
+    * Metrics.scoreCumulative (window over distinct scores is fine
+    * single-node).
+    */
+  private def cumCte(dir: String): String =
+    s"""WITH v AS (SELECT jaccard AS s, CASE WHEN final_label = 'DUPLICATE' THEN 1 ELSE 0 END AS y FROM ${verdictsPq(dir)}),
+       |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos, count(*) AS tot FROM v GROUP BY s),
+       |c AS (SELECT s, pos, tot,
+       |  COALESCE(CAST(sum(pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cpb,
+       |  COALESCE(CAST(sum(tot) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ctb
+       |  FROM g)""".stripMargin
+
+  /** DuckDB mirror of Ann.lshCandidates(dim=64, bands=16, bitsPerBand=6) +
+    * cosine >= 0.45 (q_embed_near_dup): the hyperplane sign patterns are
+    * derived from the same splitmix64 stream at SQL-generation time, and
+    * the dot/norm sums are unrolled left-associatively to match Spark's
+    * aggregate() fold order (bit-identical doubles).
+    */
+  private def embedNearDupOracle: String = {
+    val dim = 64; val bands = 16; val bitsPerBand = 6
+    def bucketExpr(band: Int, v: String): String =
+      (0 until bitsPerBand).map { bit =>
+        val terms = (0 until dim).map { d =>
+          val h = PagesSource.mix64(band.toLong * 100003L + bit.toLong * 1009L + d)
+          val sign = if ((h & 1L) == 1L) "+" else "-"
+          s"$sign CAST($v[${d + 1}] AS DOUBLE)"
+        }.mkString(" ")
+        s"(CASE WHEN ($terms) >= 0 THEN ${1L << bit} ELSE 0 END)"
+      }.mkString(" + ")
+    def dot(a: String, b: String) =
+      (0 until dim).map(d => s"CAST($a[${d + 1}] AS DOUBLE) * CAST($b[${d + 1}] AS DOUBLE)").mkString(" + ")
+    def nrm(a: String) =
+      s"sqrt(${(0 until dim).map(d => s"CAST($a[${d + 1}] AS DOUBLE) * CAST($a[${d + 1}] AS DOUBLE)").mkString(" + ")})"
+    val bandedSelects = (0 until bands).map(b =>
+      s"SELECT vec_id AS id, embedding AS vec, $b AS band, ${bucketExpr(b, "embedding")} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"WITH banded AS ($bandedSelects), " +
+      "pairs AS (SELECT DISTINCT l.id AS a, r.id AS b, l.vec AS va, r.vec AS vb " +
+      "FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id), " +
+      s"scored AS (SELECT a, b, CASE WHEN ${nrm("va")} = 0 OR ${nrm("vb")} = 0 THEN 0.0 " +
+      s"ELSE (${dot("va", "vb")}) / (${nrm("va")} * ${nrm("vb")}) END AS cosine FROM pairs) " +
+      "SELECT a, b, cosine FROM scored WHERE cosine >= 0.45 ORDER BY a, b"
+  }
+
+  /** Oracle SQL parameterized by the sf dir — Verify dumps
+    * oracleSqlFor(actual sfDir) so the stage-parquet paths match the run.
+    */
+  def oracleSqlFor(dir: String): Map[String, String] = Map(
     "q_lang_hist" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang",
     "q_corpus_stats" ->
-      ("SELECT count(*) AS doc_count, sum(n_chars) AS total_chars, " +
-        "avg(n_chars) AS avg_chars, count(DISTINCT source) AS n_sources FROM documents"),
+      ("SELECT count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_chars_micro, " +
+        "count(DISTINCT source) AS n_sources FROM documents"),
     "q_token_count" ->
       ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens " +
@@ -379,11 +581,79 @@ object SparkEntry {
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "(CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8 " +
         "ORDER BY a, b"),
+    // the full quadratic IS the oracle for the LSH-blocked variant:
+    // hash-equality here is a machine-checked recall-1.0 statement
+    "q_token_jaccard_lsh" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks FROM documents) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8 " +
+        "ORDER BY a, b"),
     "q_ingest_dedup" ->
       (s"WITH hashed AS (SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM $docsWithVariantsSql), " +
         "firstper AS (SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1), " +
         "seen AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 = 0) " +
         "SELECT doc_id FROM firstper WHERE content_hash NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
+    "q_file_mapping" ->
+      ("WITH existing AS (SELECT doc_id, '/data/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, 0 AS ver FROM documents), " +
+        "updates AS (SELECT doc_id, '/data2/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, 1 AS ver FROM documents WHERE doc_id % 4 = 0) " +
+        "SELECT doc_id, path, ver FROM updates " +
+        "UNION ALL SELECT e.doc_id, e.path, e.ver FROM existing e WHERE e.doc_id NOT IN (SELECT doc_id FROM updates) " +
+        "ORDER BY doc_id"),
+    "q_filename_tokens" ->
+      ("WITH f AS (SELECT doc_id, '/data/' || source || '/' || source || '_Report-' || CAST(doc_id AS VARCHAR) || '.' || lang || '.txt' AS filename FROM documents), " +
+        "b AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(" +
+        "regexp_replace(regexp_replace(list_extract(string_split(list_extract(string_split(filename, '/'), -1), '\\'), -1), " +
+        "'\\.[A-Za-z0-9]{1,6}$', ''), '[^a-zA-Z0-9_]+', ' ', 'g'))), '\\s+'), " +
+        "t -> length(t) > 0 AND NOT regexp_full_match(t, '[0-9]+') AND length(t) >= 2)[1:20] AS toks FROM f) " +
+        "SELECT doc_id, s['pos'] AS pos, s['token'] AS token FROM " +
+        "(SELECT doc_id, unnest(list_transform(toks, (x, i) -> {'pos': CAST(i - 1 AS BIGINT), 'token': x})) AS s FROM b) " +
+        "ORDER BY doc_id, pos"),
+    "q_lang_id" -> {
+      val markerSql = TextOps.Markers.map { case (lang, set) =>
+        val inList = set.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(toks, x -> x IN $inList)) AS h_$lang"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, lang, text, " +
+        "list_transform(regexp_split_to_array(lower(text), '\\s+')[1:500], x -> regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS toks FROM documents), " +
+        s"h AS (SELECT doc_id, lang, text, $markerSql FROM t) " +
+        "SELECT doc_id, lang, CASE WHEN text IS NULL OR text = '' THEN 'und' " +
+        "WHEN greatest(h_en, h_de, h_fr, h_es) < 2 THEN 'und' " +
+        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' " +
+        "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' " +
+        "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred_lang " +
+        "FROM h ORDER BY doc_id"
+    },
+    "q_quality_score" ->
+      ("WITH q AS (SELECT doc_id, text, length(text) AS n, " +
+        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, " +
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit, " +
+        "length(text) - length(regexp_replace(text, '[\\t\\n\\v\\f\\r ]', '', 'g')) AS ws, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks FROM documents), " +
+        "r AS (SELECT doc_id, n, len(toks) AS ntok, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_tok, " +
+        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(alpha AS DOUBLE) / n END AS alpha_r, " +
+        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(digit AS DOUBLE) / n END AS digit_r, " +
+        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(n - alpha - digit - ws AS DOUBLE) / n END AS punct_r, " +
+        s"CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(len(list_filter(toks, x -> lower(x) IN $stopwordsInList)) AS DOUBLE) / len(toks) END AS sw_r " +
+        "FROM q) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(ntok AS BIGINT) AS n_tokens, " +
+        "mean_tok AS mean_token_len, alpha_r AS alpha_ratio, digit_r AS digit_ratio, " +
+        "punct_r AS punct_ratio, sw_r AS stopword_ratio, " +
+        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE, " +
+        "0.4::DOUBLE * alpha_r + 0.2::DOUBLE * least(1.0::DOUBLE, sw_r * 4) + " +
+        "0.2::DOUBLE * (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) + " +
+        "0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, digit_r * 5 + punct_r * 2)))) END AS score " +
+        "FROM r ORDER BY doc_id"),
+    "q_html_meta" ->
+      (s"WITH p AS (SELECT url, html, lang, decode(html) AS h FROM ${pagesPq(dir)}) " +
+        "SELECT url, CAST(octet_length(html) AS BIGINT) AS html_bytes, " +
+        "CASE WHEN strpos(h, '<title>') > 0 AND strpos(h, '</title>') > strpos(h, '<title>') " +
+        "THEN substr(h, strpos(h, '<title>') + 7, strpos(h, '</title>') - strpos(h, '<title>') - 7) ELSE '' END AS title, " +
+        "lang FROM p ORDER BY url"),
     "q_label_assign" ->
       ("SELECT vec_id, predicted_label FROM (" +
         "SELECT e.vec_id, l.vec_id AS predicted_label, " +
@@ -395,6 +665,82 @@ object SparkEntry {
         "SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20) " +
-        "WHERE rank <= 5 ORDER BY query_id, rank")
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "q_embed_near_dup" -> embedNearDupOracle,
+    // ---------- pipeline/metrics recomputed over stage parquet ----------
+    "q_lsh_candidates" ->
+      s"SELECT a, b FROM ${candPq(dir)} ORDER BY a, b",
+    "q_dedup_verdicts" ->
+      (s"SELECT pair_key, exact, jaccard, hamming, sim_sim, votes, final_label, dup_kind " +
+        s"FROM ${verdictsPq(dir)} ORDER BY pair_key"),
+    "q_dedup_clusters" ->
+      s"SELECT url, cluster_id, cluster_size FROM ${clustersPq(dir)} ORDER BY cluster_id, url",
+    "q_cluster_summary" ->
+      (s"SELECT cluster_id, count(*) AS cluster_size FROM ${clustersPq(dir)} " +
+        "GROUP BY cluster_id ORDER BY cluster_size DESC, cluster_id ASC"),
+    "q_run_summary" ->
+      ("SELECT count(*) AS total_pairs, " +
+        "CAST(sum(CASE WHEN final_label = 'DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS duplicates, " +
+        "CAST(sum(CASE WHEN final_label = 'NON_DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS non_duplicates, " +
+        "CAST(sum(CASE WHEN final_label = 'UNCERTAIN' THEN 1 ELSE 0 END) AS BIGINT) AS uncertain, " +
+        "CAST(sum(CASE WHEN dup_kind = 'EXACT' THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups, " +
+        "CAST(sum(CASE WHEN dup_kind = 'NEAR' THEN 1 ELSE 0 END) AS BIGINT) AS near_dups, " +
+        "CAST(sum(CASE WHEN final_label <> 'UNCERTAIN' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS consensus_rate " +
+        s"FROM ${verdictsPq(dir)}"),
+    "q_agreement_matrix" ->
+      (s"WITH v AS (SELECT vote_sim, vote_min, vote_emb FROM ${verdictsPq(dir)}), " +
+        "l AS (SELECT * FROM (VALUES ('simhash', 1), ('minhash', 2), ('embedding', 3)) AS t(name, idx)) " +
+        "SELECT a.name AS learner_a, b.name AS learner_b, " +
+        "avg(CASE WHEN (CASE a.idx WHEN 1 THEN v.vote_sim WHEN 2 THEN v.vote_min ELSE v.vote_emb END) = " +
+        "(CASE b.idx WHEN 1 THEN v.vote_sim WHEN 2 THEN v.vote_min ELSE v.vote_emb END) THEN 1 ELSE 0 END) AS agreement_rate, " +
+        "avg(CASE WHEN (CASE a.idx WHEN 1 THEN v.vote_sim WHEN 2 THEN v.vote_min ELSE v.vote_emb END) THEN 1 ELSE 0 END) AS vote_share_a " +
+        "FROM v, l a, l b GROUP BY a.name, b.name ORDER BY learner_a, learner_b"),
+    "q_score_histogram" ->
+      (s"SELECT CAST(least(19, CAST(floor(jaccard * 20) AS BIGINT)) AS INTEGER) AS bin, " +
+        "CAST(sum(CASE WHEN final_label = 'DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS pos_count, " +
+        "CAST(sum(CASE WHEN final_label = 'DUPLICATE' THEN 0 ELSE 1 END) AS BIGINT) AS neg_count, " +
+        "CAST(least(19, CAST(floor(jaccard * 20) AS BIGINT)) AS INTEGER) / 20.0::DOUBLE AS bin_lo " +
+        s"FROM ${verdictsPq(dir)} GROUP BY 1, 4 ORDER BY bin"),
+    "q_threshold_sweep" ->
+      (cumCte(dir) + ", " +
+        "t AS (SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(tot) AS BIGINT) AS tt FROM g) " +
+        "SELECT c.s AS thr, CAST(t.p - c.cpb AS BIGINT) AS tp, " +
+        "CAST((t.tt - c.ctb) - (t.p - c.cpb) AS BIGINT) AS fp, " +
+        "CASE WHEN t.p > 0 THEN CAST(t.p - c.cpb AS DOUBLE) / t.p ELSE 0.0::DOUBLE END AS tpr, " +
+        "CASE WHEN (t.tt - t.p) > 0 THEN CAST((t.tt - c.ctb) - (t.p - c.cpb) AS DOUBLE) / (t.tt - t.p) ELSE 0.0::DOUBLE END AS fpr, " +
+        "CASE WHEN (t.tt - c.ctb) > 0 THEN CAST(t.p - c.cpb AS DOUBLE) / (t.tt - c.ctb) ELSE 1.0::DOUBLE END AS \"precision\" " +
+        "FROM c, t ORDER BY thr DESC"),
+    "q_auc" ->
+      (cumCte(dir) + ", " +
+        "a AS (SELECT sum(pos * (ctb + (tot + 1) / 2.0::DOUBLE)) AS rank_sum_pos, " +
+        "CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(tot - pos) AS BIGINT) AS n_neg FROM c) " +
+        "SELECT CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5::DOUBLE " +
+        "ELSE (rank_sum_pos - n_pos * (n_pos + 1) / 2.0::DOUBLE) / (n_pos * n_neg) END AS auc, " +
+        "n_pos, n_neg FROM a"),
+    "q_pseudo_labels" ->
+      (s"WITH p AS (SELECT pair_key, CASE WHEN exact OR " +
+        "((CASE WHEN sim_sim >= (0.75::DOUBLE + 0.07::DOUBLE) THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN jaccard >= (0.75::DOUBLE + 0.07::DOUBLE) THEN 1 ELSE 0 END)) >= 2 THEN 1 " +
+        "WHEN sim_sim <= (0.75::DOUBLE - 0.07::DOUBLE) AND jaccard <= (0.75::DOUBLE - 0.07::DOUBLE) THEN 0 " +
+        s"ELSE NULL END AS pseudo FROM ${verdictsPq(dir)}) " +
+        "SELECT pair_key, CAST(pseudo AS INTEGER) AS pseudo FROM p WHERE pseudo IS NOT NULL ORDER BY pair_key"),
+    "q_token_overlap" ->
+      (s"WITH toks AS (SELECT url, t AS token, count(*) AS cnt FROM " +
+        s"(SELECT url, unnest(string_split(norm_text, ' ')) AS t FROM ${normPq(dir)}) GROUP BY url, t), " +
+        s"c AS (SELECT a, b FROM ${candPq(dir)}) " +
+        "SELECT c.a, c.b, CAST(sum(least(ta.cnt, tb.cnt)) AS BIGINT) AS overlap " +
+        "FROM c JOIN toks ta ON ta.url = c.a JOIN toks tb ON tb.url = c.b AND tb.token = ta.token " +
+        "GROUP BY c.a, c.b ORDER BY a, b"),
+    "q_drift_compare" ->
+      (s"SELECT COALESCE(p.learner, c.learner) AS learner, " +
+        "p.threshold AS threshold_prev, c.threshold AS threshold_curr, c.threshold - p.threshold AS threshold_delta, " +
+        "p.brier AS brier_prev, c.brier AS brier_curr, c.brier - p.brier AS brier_delta, " +
+        "p.ece AS ece_prev, c.ece AS ece_curr, c.ece - p.ece AS ece_delta " +
+        s"FROM read_parquet('${runDirFor(dir)}/08_calib_prev/*.parquet') p " +
+        s"FULL OUTER JOIN read_parquet('${runDirFor(dir)}/08_calib_curr/*.parquet') c ON p.learner = c.learner " +
+        "ORDER BY learner")
   )
+
+  /** Contract form: the driver's correctness gate runs at sf0.01. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 }

@@ -27,10 +27,14 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import spark.implicits._
 
-    // The CC working set is tiny next to the corpus and each round is
-    // latency-bound; a handful of partitions keeps per-round task overhead
-    // flat regardless of the session's shuffle parallelism.
-    val ccParts = math.max(2, math.min(8, spark.sparkContext.defaultParallelism / 4))
+    // Partition count scales with the edge relation: ~64k edges per task
+    // keeps per-round task overhead flat on tiny inputs (the sandbox) while
+    // a billion-edge web corpus fans out to the full cluster parallelism.
+    // The single count() pass is cheap next to the O(log n) join rounds.
+    val nEdges = edges.count()
+    val ccParts = math.max(2, math.min(
+      math.max(spark.sparkContext.defaultParallelism * 4, 8),
+      (nEdges / 65536L + 1L).toInt))
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
       .distinct()

@@ -1,7 +1,6 @@
 package graft.metrics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Run metrics — distributed re-expression of the reference's metrics
@@ -25,21 +24,62 @@ object Metrics {
         .as("consensus_rate"))
   }
 
+  /** Exact per-distinct-score cumulative counts WITHOUT a global
+    * single-task window: groupBy score (shuffle), range-repartition by
+    * score, per-partition prefix sums with broadcast partition offsets —
+    * the classic two-pass distributed scan. Every downstream rank/ROC
+    * metric is a plain aggregation over this.
+    *
+    * Output: one row per distinct score —
+    * (s, pos, tot, cum_pos_before, cum_tot_before), cumulatives over
+    * strictly-smaller scores. Exact (not binned), and scales: the only
+    * per-row state is a running counter inside each range partition.
+    */
+  def scoreCumulative(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grouped = df
+      .select(col(scoreCol).cast("double").as("s"), col(labelCol).cast("int").as("y"))
+      .groupBy($"s").agg(sum($"y").cast("long").as("pos"), count(lit(1)).as("tot"))
+      .as[(Double, Long, Long)]
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism)
+    // localCheckpoint pins the (sampled) range boundaries so both passes
+    // see the identical partitioning
+    val parted = grouped.repartitionByRange(nParts, $"s")
+      .sortWithinPartitions($"s").localCheckpoint()
+    val perPart = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var p = 0L; var t = 0L
+      it.foreach { r => p += r._2; t += r._3 }
+      Iterator((pid, p, t))
+    }.collect().sortBy(_._1)
+    val offsets = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    var accP = 0L; var accT = 0L
+    perPart.foreach { case (pid, p, t) => offsets(pid) = (accP, accT); accP += p; accT += t }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var (cp, ct) = bc.value.getOrElse(pid, (0L, 0L))
+      it.map { case (s, pos, tot) =>
+        val r = (s, pos, tot, cp, ct)
+        cp += pos; ct += tot
+        r
+      }
+    }.toDF("s", "pos", "tot", "cum_pos_before", "cum_tot_before")
+  }
+
   /** M2 — rank-based AUC (Mann-Whitney with tie-averaged ranks,
     * metrics.py:704-728) of `scoreCol` against boolean/0-1 `labelCol`.
-    * Returns a 1-row DataFrame (auc, n_pos, n_neg).
+    * Returns a 1-row DataFrame (auc, n_pos, n_neg). Tie-group avg rank =
+    * cum_tot_before + (tot+1)/2 — identical to avg(row_number) over the
+    * group, with no global sort.
     */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    // tie-averaged rank = avg of row_numbers within equal scores
-    val ranked = df.select(col(scoreCol).as("s"), col(labelCol).cast("int").as("y"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
-    val tieAvg = ranked.groupBy(col("s"))
-      .agg(avg(col("rn")).as("avg_rank"))
-    val joined = ranked.join(tieAvg, "s")
-    joined.agg(
-      sum(when(col("y") === 1, col("avg_rank")).otherwise(0.0)).as("rank_sum_pos"),
-      sum(col("y")).cast("long").as("n_pos"),
-      sum(lit(1) - col("y")).cast("long").as("n_neg"))
+    scoreCumulative(df, scoreCol, labelCol)
+      .agg(
+        sum(col("pos") * (col("cum_tot_before") + (col("tot") + 1) / lit(2.0))).as("rank_sum_pos"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("tot") - col("pos")).cast("long").as("n_neg"))
       .select(
         when(col("n_pos") === 0 || col("n_neg") === 0, 0.5)
           .otherwise((col("rank_sum_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0) / (col("n_pos") * col("n_neg")))
@@ -93,24 +133,45 @@ object Metrics {
   }
 
   /** M8 — threshold sweep: cumulative TP/FP over descending unique scores
-    * (metrics.py:739-803), yielding ROC/PR points.
+    * (metrics.py:739-803), yielding ROC/PR points. tp at threshold s =
+    * total positives minus positives strictly below s — computed from the
+    * distributed scan, no global single-task window.
     */
   def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val w = Window.orderBy(col("thr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val y = col(labelCol).cast("int")
-    val scored = df.select(col(scoreCol).as("thr"), y.as("y"))
-      .withColumn("tp", sum(col("y")).over(w))
-      .withColumn("fp", sum(lit(1) - col("y")).over(w))
-    val totals = scored.agg(sum(col("y")).as("P"), sum(lit(1) - col("y")).as("N")).first()
+    val cum = scoreCumulative(df, scoreCol, labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cum.agg(sum(col("pos")).cast("long").as("P"),
+      sum(col("tot") - col("pos")).cast("long").as("N")).first()
     val p = totals.getLong(0).toDouble
     val n = totals.getLong(1).toDouble
-    scored.groupBy(col("thr"))
-      .agg(max(col("tp")).as("tp"), max(col("fp")).as("fp"))
+    val totLong = totals.getLong(0) + totals.getLong(1)
+    cum.select(
+        col("s").as("thr"),
+        (lit(totals.getLong(0)) - col("cum_pos_before")).as("tp"),
+        (lit(totLong) - col("cum_tot_before") - (lit(totals.getLong(0)) - col("cum_pos_before"))).as("fp"))
       .withColumn("tpr", if (p > 0) col("tp") / p else lit(0.0))
       .withColumn("fpr", if (n > 0) col("fp") / n else lit(0.0))
       .withColumn("precision", when(col("tp") + col("fp") > 0, col("tp") / (col("tp") + col("fp"))).otherwise(1.0))
       .orderBy(col("thr").desc)
+  }
+
+  /** M12 — calibration drift compare (metrics.py:136-156): full outer join
+    * of two calibration snapshots on learner, per-field deltas (null when
+    * either side is missing — the reference's _delta_num).
+    */
+  def calibrationDrift(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val p = prev.select(col("learner"), col("threshold").as("threshold_prev"),
+      col("brier").as("brier_prev"), col("ece").as("ece_prev"))
+    val c = curr.select(col("learner"), col("threshold").as("threshold_curr"),
+      col("brier").as("brier_curr"), col("ece").as("ece_curr"))
+    p.join(c, Seq("learner"), "full_outer")
+      .select(col("learner"),
+        col("threshold_prev"), col("threshold_curr"),
+        (col("threshold_curr") - col("threshold_prev")).as("threshold_delta"),
+        col("brier_prev"), col("brier_curr"),
+        (col("brier_curr") - col("brier_prev")).as("brier_delta"),
+        col("ece_prev"), col("ece_curr"),
+        (col("ece_curr") - col("ece_prev")).as("ece_delta"))
   }
 
   /** M9 — top-k example pairs by a score (metrics.py:514-540). */

@@ -135,12 +135,38 @@ object TextNorm extends Serializable {
     (0 to s.length - k).map(i => s.substring(i, i + k)).toArray
   }
 
+  private val FileExt = Pattern.compile("\\.[A-Za-z0-9]{1,6}$")
+  private val NonWordRuns = Pattern.compile("[^\\w]+", U)
+
+  /** filename_tokens \u2014 text_preproc.py:163-170: basename (both
+    * separators), drop a short extension, non-word runs \u2192 space, strip,
+    * lower, keep tokens that are not pure digits and have length >= 2,
+    * first 20.
+    */
+  def filenameTokens(filename: String): Array[String] = {
+    if (filename == null || filename.isEmpty) return Array.empty
+    var name = filename.substring(filename.lastIndexOf('/') + 1)
+    name = name.substring(name.lastIndexOf('\\') + 1)
+    name = FileExt.matcher(name).replaceAll("")
+    name = NonWordRuns.matcher(name).replaceAll(" ").strip().toLowerCase(Locale.ROOT)
+    pySplit(name)
+      .filter(t => t.nonEmpty && !t.forall(Character.isDigit) && t.length >= 2)
+      .take(20)
+  }
+
   /** drop_repeating_lines \u2014 text_preproc.py:55-67. */
   def dropRepeatingLines(text: String, minCount: Int = 3, maxLen: Int = 120): String = {
     if (text == null || text.isEmpty) return ""
     // Python splitlines() splits on a wider set than \n; our inputs are
-    // \n/\r\n only, which it handles identically to this:
-    val lines = text.split("\r\n|\r|\n", -1).map(_.strip())
+    // \n/\r\n/\r only, which it handles identically to this — EXCEPT that
+    // splitlines yields no trailing element after a final terminator,
+    // while Java's limit=-1 split keeps one: drop it.
+    val parts = text.split("\r\n|\r|\n", -1)
+    val trimmed =
+      if (parts.last.isEmpty && (text.endsWith("\n") || text.endsWith("\r")))
+        parts.dropRight(1)
+      else parts
+    val lines = trimmed.map(_.strip())
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     lines.foreach(ln => if (ln.nonEmpty) counts.update(ln, counts.getOrElse(ln, 0) + 1))
     val repetitive = counts.collect {

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Bootstrap {
 
   final case class LearnerCalibration(learner: String, method: String,
-                                      threshold: Double, brier: Double,
+                                      threshold: Double, brier: Double, ece: Double,
                                       n_pos: Long, n_neg: Long)
 
   /** `sigs` may be rep-level (the pipeline's signature stage): signatures
@@ -102,7 +102,8 @@ object Bootstrap {
       ("minhash", scored.map(_._3)),
       ("embedding", scored.map(_._4))).map { case (name, s) =>
       val p = Calibration.calibrateAdaptive(s, labels, targetPrecision)
-      (LearnerCalibration(name, p.method, p.threshold, p.brier, nPos, nNeg), p)
+      val eceV = Calibration.ece(s.map(Calibration.applyParams(_, p)), labels)
+      (LearnerCalibration(name, p.method, p.threshold, p.brier, eceV, nPos, nNeg), p)
     }
   }
 

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes:
   *  - Signatures carry HASHED shingle sets (sorted distinct xxh64), not
-  *    shingle strings — pair verification is a merge-count, and the join
-  *    payload stays small.
+  *    shingle strings — pair verification is a merge-count. The pair join
+  *    itself ships only fixed-width signature columns; the size-unbounded
+  *    shingle arrays join in only for the estimate-uncertainty band
+  *    (verifyStage Scaladoc).
   *  - The embedding learner only decides pairs where exactly need-1 of the
   *    other votes fired (arbiter consensus is monotone), so embeddings are
   *    computed for that small pair subset only, never for the whole corpus.
@@ -161,6 +163,16 @@ object DedupPipeline {
   /** Stage 5: verify + decide. Pure column math for the two signature
     * learners; embedding + suffix-array span pass computed only for the
     * pair subset whose outcome depends on them.
+    *
+    * Shuffle-payload design: the first pair join carries only fixed-width
+    * columns (the numPerm-long minhash signature, simhash words, exact
+    * hash) — the size-unbounded hashed-shingle arrays are joined ONLY for
+    * pairs whose signature-equality estimate lands inside the
+    * (estSkipLow, estSkipHigh) uncertainty band around the vote threshold.
+    * Out-of-band pairs use the estimate as their jaccard score (the
+    * reference's own estimate semantics, minhash_model.py:483-487);
+    * in-band pairs get the exact merge-count Jaccard, so every decision
+    * near the threshold is exact.
     */
   def verifyStage(spark: SparkSession, cands: Dataset[CandPair], sigs: Dataset[DocSig],
                   norm: Dataset[DocNorm], conf: DedupConfig): Dataset[Verdict] = {
@@ -169,21 +181,46 @@ object DedupPipeline {
     val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       MinHashSig.jaccardSorted(a.toArray, b.toArray))
 
-    val sa = sigs.select($"url".as("a_url"), $"shingles".as("a_sh"),
+    val sa = sigs.select($"url".as("a_url"), $"minhash".as("a_mh"), $"n_shingles".as("a_nsh"),
       $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
-    val sb = sigs.select($"url".as("b_url"), $"shingles".as("b_sh"),
+    val sb = sigs.select($"url".as("b_url"), $"minhash".as("b_mh"), $"n_shingles".as("b_nsh"),
       $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
 
     val bits = conf.simhashBits
     val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
       bit_count($"a_lo".bitwiseXOR($"b_lo"))).as("hamming")
 
-    val base = cands.toDF()
+    // signature-equality estimate (codegen'd higher-order fns, no UDF)
+    val estCol = expr(
+      "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v)) / CAST(size(a_mh) AS DOUBLE)")
+
+    val pre = cands.toDF()
       .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
       .withColumn("exact", $"a_eh" === $"b_eh")
-      .withColumn("jaccard", jaccardUdf($"a_sh", $"b_sh"))
+      .withColumn("est", estCol)
       .withColumn("hamming", hammingCol)
       .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
+      // empty shingle sets carry sentinel signatures (est 1.0 vs another
+      // empty set) — always resolve those exactly (jaccardSorted: both
+      // empty -> 0.0, the reference's _jaccard_from_sets)
+      .withColumn("need_exact_j", !$"exact" &&
+        (($"est" > conf.estSkipLow && $"est" < conf.estSkipHigh) ||
+          $"a_nsh" === 0 || $"b_nsh" === 0))
+      .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
+        $"need_exact_j", $"a_nsh", $"b_nsh")
+
+    val ja = sigs.select($"url".as("ja_url"), $"shingles".as("ja_sh"))
+    val jb = sigs.select($"url".as("jb_url"), $"shingles".as("jb_sh"))
+    val exactJ = pre.filter($"need_exact_j").select($"a", $"b")
+      .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
+      .select($"a".as("ea"), $"b".as("eb"), jaccardUdf($"ja_sh", $"jb_sh").as("exact_j"))
+
+    val base = pre
+      .join(exactJ, $"a" === $"ea" && $"b" === $"eb", "left")
+      .withColumn("jaccard",
+        when($"exact", when($"a_nsh" === 0 && $"b_nsh" === 0, 0.0).otherwise(1.0))
+          .when($"need_exact_j", $"exact_j")
+          .otherwise($"est"))
       .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
       .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
       .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))
@@ -393,18 +430,41 @@ object DedupPipeline {
 
   /** M11 — run-level metrics snapshot (metrics.py:212-281 shape) assembled
     * from the persisted stage outputs and written alongside them.
+    *
+    * Observability only: never allowed to fail the run — every read is
+    * existence-checked and the whole write is exception-fenced (a missing
+    * lineage dir on a fully-resumed run must not take down the pipeline).
     */
   def writeMetricsSnapshot(spark: SparkSession, runDir: String, runId: String,
-                           confHash: String, verdicts: DataFrame, clusters: DataFrame): Unit = {
+                           confHash: String, verdicts: DataFrame, clusters: DataFrame): Unit =
+    try writeMetricsSnapshotUnsafe(spark, runDir, runId, confHash, verdicts, clusters)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] metrics snapshot skipped for $runDir: ${e.getMessage}")
+    }
+
+  private def writeMetricsSnapshotUnsafe(spark: SparkSession, runDir: String, runId: String,
+                                         confHash: String, verdicts: DataFrame, clusters: DataFrame): Unit = {
     import spark.implicits._
     val summary = graft.metrics.Metrics.runSummary(verdicts).first()
     val nClusters = clusters.select($"cluster_id").distinct().count()
     val clustered = clusters.count()
-    val lineage = spark.read.parquet(s"$runDir/lineage/*")
-      .groupBy($"stage").agg(max($"wall_ms").as("ms"), sum($"rows").as("rows"))
-      .orderBy($"stage").collect()
-      .map(r => s"""{"stage":"${r.getString(0)}","wall_ms":${r.getLong(1)},"rows":${r.getLong(2)}}""")
-      .mkString("[", ",", "]")
+    val lineageDir = new Path(s"$runDir/lineage")
+    val f0 = fs(spark, runDir)
+    // explicit per-stage paths, not a "lineage/*" glob: Spark's source
+    // resolution stats the literal glob string first and logs a spurious
+    // WARN + FileNotFoundException stack (harmless but it pollutes the
+    // bench log the driver parses)
+    val stageDirs =
+      if (!f0.exists(lineageDir)) Array.empty[String]
+      else f0.listStatus(lineageDir).filter(_.isDirectory).map(_.getPath.toString)
+    val lineage =
+      if (stageDirs.isEmpty) "[]"
+      else spark.read.parquet(stageDirs.toIndexedSeq: _*)
+        .groupBy($"stage").agg(max($"wall_ms").as("ms"), sum($"rows").as("rows"))
+        .orderBy($"stage").collect()
+        .map(r => s"""{"stage":"${r.getString(0)}","wall_ms":${r.getLong(1)},"rows":${r.getLong(2)}}""")
+        .mkString("[", ",", "]")
     val dropped = Option(spark.sparkContext.getLocalProperty("graft.droppedBuckets")).getOrElse("0")
     val json =
       s"""{"run_id":"$runId","config_hash":"$confHash",

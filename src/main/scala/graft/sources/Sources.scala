@@ -50,6 +50,13 @@ object Sources {
     spark.read.option("multiLine", "true").json(path)
       .select(col("doc_id").cast("string"), col("text"))
 
+  /** S10 — keyed upsert (sqlite_store.py:156-182 INSERT OR REPLACE done
+    * set-wise): rows from `updates` win per key, everything else from
+    * `existing` survives. One anti-join — no window, no driver loop.
+    */
+  def upsertByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    existing.join(updates.select(col(key)), Seq(key), "left_anti").unionByName(updates)
+
   /** A7 — ingest-time exact dedup: keep the first row per content hash
     * within the batch, then anti-join against the seen-hashes table.
     */

@@ -14,13 +14,14 @@ object TextOps extends Serializable {
     * would use fastText-style n-gram models; the heuristic keeps the Spark
     * plumbing (schema, partitioning) identical while staying dependency-free.
     */
-  private val Markers: Map[String, Set[String]] = Map(
+  /** Ordered: earlier languages win hit-count ties deterministically
+    * ("zh" is handled by the CJK codepoint-ratio rule, not markers).
+    */
+  val Markers: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "this"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von", "auf", "zu"),
     "fr" -> Set("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans", "des", "du"),
-    "es" -> Set("el", "la", "los", "las", "es", "no", "una", "para", "que", "en", "del", "por"),
-    "zh" -> Set.empty // handled by the CJK codepoint-ratio rule
-  )
+    "es" -> Set("el", "la", "los", "las", "es", "no", "una", "para", "que", "en", "del", "por"))
 
   /** Heuristic language ID: CJK codepoint ratio first, then function-word
     * hit counts; "und" (undetermined) when no evidence.
@@ -46,11 +47,9 @@ object TextOps extends Serializable {
     var best = "und"
     var bestHits = 0
     Markers.foreach { case (lang, set) =>
-      if (set.nonEmpty) {
-        var hits = 0
-        toks.foreach(t => if (set(t.replaceAll("[^\\p{L}]", ""))) hits += 1)
-        if (hits > bestHits) { bestHits = hits; best = lang }
-      }
+      var hits = 0
+      toks.foreach(t => if (set(t.replaceAll("[^\\p{L}]", ""))) hits += 1)
+      if (hits > bestHits) { bestHits = hits; best = lang }
     }
     if (bestHits >= 2) best else "und"
   }

@@ -39,6 +39,22 @@ class CCSpec extends AnyFunSuite {
     }
   }
 
+  test("CC matches union-find on a large random graph at full parallelism") {
+    import spark.implicits._
+    val rng = new DetRng(79)
+    val n = 30000
+    // sparse random graph (many components) + a 200-vertex path tail
+    val rand = (0 until n).map(_ => (f"v${rng.nextInt(n)}%05d", f"v${rng.nextInt(n)}%05d"))
+      .filter(e => e._1 != e._2)
+    val path = (0 until 200).map(i => (f"p${i}%04d", f"p${i + 1}%04d"))
+    val edges = rand ++ path
+    val expected = unionFind(edges)
+    val got = ConnectedComponents.run(spark, edges.toDF("a", "b").repartition(32))
+      .as[(String, String)].collect().toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("CC is invariant under edge order and partition count") {
     import spark.implicits._
     val rng = new DetRng(78)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct checks of SparkEntry operator queries that have non-trivial
+  * scale-path vs exact-path equivalences.
+  */
+class EntryQueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH-blocked token-jaccard finds exactly the quadratic >=0.8 pairs") {
+    import spark.implicits._
+    val lsh = SparkEntry.queries("q_token_jaccard_lsh")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // quadratic oracle over ALL pairs (no source restriction)
+    val t = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+    val a = t.select(col("doc_id").as("a"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("b"), col("toks").as("tb"))
+    val quad = a.join(b, col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("double") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(lsh == quad, s"lsh=${lsh.size} pairs, quadratic=${quad.size} pairs")
+  }
+
+  test("upsertByKey: updates win per key, everything else survives") {
+    import spark.implicits._
+    val existing = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0)).toDF("k", "v", "ver")
+    val updates = Seq((2L, "B", 1), (4L, "D", 1)).toDF("k", "v", "ver")
+    val got = graft.sources.Sources.upsertByKey(existing, updates, "k")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 0), (2L, "B", 1), (3L, "c", 0), (4L, "D", 1)))
+  }
+
+  test("filename_tokens query produces stable exploded rows") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_filename_tokens")(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // every row's token: lowercase, no digits-only, len>=2
+    rows.foreach { case (_, _, t) =>
+      assert(t == t.toLowerCase && t.length >= 2 && !t.forall(_.isDigit))
+    }
+    // pos is dense per doc starting at 0
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+  }
+}

@@ -53,6 +53,15 @@ object GoldenFixtures {
       n.get("reason").asText(), optD("sim_raw"), optD("min_raw"), optD("emb_cos"))
   }
 
+  final case class NormExtra(kind: String, input: String, outText: Option[String],
+                             outList: Option[Seq[String]])
+  lazy val normExtraGolden: Seq[NormExtra] = lines(s"$dir/norm_extra_golden.jsonl").map { n =>
+    NormExtra(n.get("kind").asText(), n.get("input").asText(),
+      Option(n.get("out_text")).filterNot(_.isNull).map(_.asText()),
+      Option(n.get("out_list")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq))
+  }
+
   final case class GoldenCluster(mode: String, members: Seq[String])
   lazy val goldenClusters: Seq[GoldenCluster] = lines(s"$dir/golden_clusters.jsonl").map { n =>
     GoldenCluster(n.get("mode").asText(),
