@@ -209,18 +209,24 @@ object DedupPipeline {
       .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
         $"need_exact_j", $"a_nsh", $"b_nsh")
 
+    // pre is a narrow pairs-sized relation (~100B/row); persisting it lets
+    // the two branches below split WITHOUT re-running the pair join, and
+    // the branch union needs no join-back shuffle.
+    val preP = pre.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val ja = sigs.select($"url".as("ja_url"), $"shingles".as("ja_sh"))
     val jb = sigs.select($"url".as("jb_url"), $"shingles".as("jb_sh"))
-    val exactJ = pre.filter($"need_exact_j").select($"a", $"b")
-      .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
-      .select($"a".as("ea"), $"b".as("eb"), jaccardUdf($"ja_sh", $"jb_sh").as("exact_j"))
-
-    val base = pre
-      .join(exactJ, $"a" === $"ea" && $"b" === $"eb", "left")
+    val skipBranch = preP.filter(!$"need_exact_j")
       .withColumn("jaccard",
         when($"exact", when($"a_nsh" === 0 && $"b_nsh" === 0, 0.0).otherwise(1.0))
-          .when($"need_exact_j", $"exact_j")
           .otherwise($"est"))
+    val exactBranch = preP.filter($"need_exact_j")
+      .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
+      .withColumn("jaccard", jaccardUdf($"ja_sh", $"jb_sh"))
+
+    val cols = Seq($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
+    val base = skipBranch.select(cols: _*)
+      .unionByName(exactBranch.select(cols: _*))
       .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
       .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
       .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.model.Schemas.Page
+import graft.norm.TextNorm
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming ingestion operators for a training-data pipeline.
+  *
+  * The reference system is batch-only (SURVEY.md §2.12) — these are the
+  * training-pipeline extensions a 100 TB crawl ingest needs: exact dedup at
+  * the stream boundary (the streaming form of A7/`Sources.dedupIngest`) and
+  * watermarked windowed corpus metrics. Both are pure
+  * `readStream → transform → writeStream` declarative plans: state is
+  * managed by Spark's streaming state store (RocksDB-backed on a real
+  * cluster), pruned by watermark — no unbounded driver state.
+  */
+object StreamingDedup {
+
+  /** Content hash over the SAME normalize chain as the batch pipeline
+    * (byte-parity surface), so stream-deduped and batch-deduped corpora
+    * agree on what "exact duplicate" means.
+    */
+  val contentHashUdf = udf((text: String) =>
+    TextNorm.contentHash(TextNorm.normalize(text)))
+
+  /** Exact-dedup a stream of pages: the first occurrence per content hash
+    * within the watermark horizon wins. `dropDuplicatesWithinWatermark`
+    * prunes state once an event-time key falls behind the watermark — the
+    * unbounded-state trap of plain dropDuplicates is avoided, which is the
+    * difference between a demo and a 100 TB ingest.
+    */
+  def dedupStream(pages: DataFrame, textCol: String = "text",
+                  tsCol: String = "warc_ts", watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("content_hash", contentHashUdf(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Custom-state variant (KeyValueGroupedDataset.flatMapGroupsWithState):
+    * emits the first page per content hash, keeps a seen marker. With
+    * `stateTimeout = Some(d)` idle hashes are evicted after `d` of wall
+    * clock (processing-time horizon — note that the timeout makes Spark
+    * schedule continuous no-data micro-batches to fire evictions, so
+    * bounded drivers like processAllAvailable never quiesce; production
+    * streams with a real trigger interval are unaffected). `None` keeps
+    * state forever (bounded corpora / tests).
+    */
+  def dedupStreamStateful(spark: SparkSession, pages: Dataset[Page],
+                          stateTimeout: Option[String] = Some("2 hours")): Dataset[Page] = {
+    import spark.implicits._
+    val mode = stateTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    pages
+      .groupByKey(p => TextNorm.contentHash(TextNorm.normalize(p.text)))
+      .flatMapGroupsWithState(OutputMode.Append, mode)(
+        (_: String, rows: Iterator[Page], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // hash already seen within the state horizon
+          } else {
+            state.update(true)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            rows.take(1)
+          }
+        })
+  }
+
+  /** Watermarked sliding corpus metrics: per-window language histogram —
+    * the streaming twin of q_lang_hist. Late data beyond the watermark is
+    * dropped, closed windows are emitted exactly once in Append mode.
+    */
+  def windowedLangHistogram(pages: DataFrame, windowLen: String = "10 minutes",
+                            watermark: String = "30 minutes"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLen), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("lang"), col("cnt"))
+}

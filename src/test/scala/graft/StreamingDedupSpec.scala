@@ -1,0 +1,85 @@
+package graft
+
+import graft.model.Schemas.Page
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured-Streaming ingest dedup driven through MemoryStream: exact
+  * duplicates (same normalized content) across micro-batches are emitted
+  * once; the windowed histogram aggregates with a watermark.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def page(url: String, text: String, minute: Int, lang: String = "en") =
+    Page(url, new Timestamp(1704067200000L + minute * 60000L), Array.emptyByteArray, text, lang)
+
+  test("dedupStream emits the first occurrence per content hash across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        page("u1", "alpha bravo charlie", 0),
+        page("u2", "ALPHA   bravo charlie", 1), // exact dup after normalize
+        page("u3", "different text entirely", 2))
+      q.processAllAvailable()
+      in.addData(
+        page("u4", "alpha bravo charlie", 3), // dup from a later batch
+        page("u5", "brand new content", 4))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM dedup_out").as[String].collect().toSet
+      assert(urls.contains("u3") && urls.contains("u5"))
+      // exactly one of the three alpha-bravo-charlie variants survived
+      assert(urls.intersect(Set("u1", "u2", "u4")).size == 1)
+      assert(urls.size == 3)
+    } finally q.stop()
+  }
+
+  test("dedupStreamStateful keeps one page per hash with keyed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.dedupStreamStateful(spark, in.toDS(), stateTimeout = None)
+      .writeStream.format("memory").queryName("dedup_state_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(page("a1", "one two three", 0), page("a2", "one  TWO three", 1))
+      q.processAllAvailable()
+      in.addData(page("a3", "one two three", 2), page("a4", "four five six", 3))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM dedup_state_out").as[String].collect().toSet
+      assert(urls.intersect(Set("a1", "a2", "a3")).size == 1)
+      assert(urls.contains("a4"))
+    } finally q.stop()
+  }
+
+  test("windowedLangHistogram aggregates per (window, lang) under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.windowedLangHistogram(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("lang_hist_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        page("w1", "x", 0), page("w2", "y", 1), page("w3", "z", 2, lang = "de"),
+        page("w4", "q", 11))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first window
+      in.addData(page("w5", "r", 40))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT lang, cnt FROM lang_hist_out")
+        .as[(String, Long)].collect().toSet
+      assert(rows.contains(("en", 2L))) // w1+w2 in the first 10-min window
+      assert(rows.contains(("de", 1L)))
+    } finally q.stop()
+  }
+}
