@@ -29,6 +29,12 @@ object Bench {
   /** The timed benchmark queries (a subset of SparkEntry.queries — the
     * pipeline run subsumes the stage-level queries).
     */
+  // q_token_jaccard_lsh is deliberately NOT here: the sf tables' short
+  // small-vocab docs make token SETS nearly equal corpus-wide (24% of all
+  // pairs are >=0.8 at sf0.01), so set-level LSH degenerates into
+  // mega-buckets on this synthetic data — the operator is verified against
+  // its full-quadratic oracle at sf0.01 instead. The pipeline's shingle-
+  // based near-dup (q_dedup_clusters) is the timed scale path.
   val benchNames: Seq[String] = Seq(
     "q_dedup_clusters", "q_token_count", "q_top_tokens", "q_exact_dup_groups",
     "q_quality_counts", "q_token_jaccard_pairs", "q_ann_topk", "q_normalize",
@@ -139,6 +145,10 @@ object ScalingBench {
 
   def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,
                      variants: Int): (Long, Double) = {
+    // let the previous local-cluster's master/worker JVMs finish tearing
+    // down: a fresh app that races them can get "requires more resource
+    // than any of Workers" and hang waiting for executors
+    Thread.sleep(8000)
     val spark = buildClusterSpark(workers, coresPerWorker,
       sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker)
     spark.sparkContext.setLogLevel("WARN")
@@ -176,6 +186,16 @@ object ScalingBench {
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPU_HI", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val clusterMode = sys.env.get("SPARK_GRAFT_CLUSTER").contains("1")
+
+    // `once <workers> <coresPerWorker>`: a single cold local-cluster run in
+    // THIS JVM, one JSON line. A second LocalSparkCluster in one JVM can
+    // hang with its worker never registering (observed round 2), so the
+    // N-vs-4N measurement drives one JVM per cluster size from the shell.
+    if (args.length == 3 && args(0) == "once") {
+      val (n, sec) = runOnceCluster(args(1).toInt, args(2).toInt, sfDir, variants)
+      println(f"""{"mode":"once","pages":$n,"workers":${args(1)},"cores_per_worker":${args(2)},"sec":$sec%.2f,"docs_per_sec":${n / sec}%.1f}""")
+      return
+    }
 
     if (clusterMode) {
       // N vs 4N EXECUTORS: separate executor JVMs (2x4 cores vs 8x4 cores)

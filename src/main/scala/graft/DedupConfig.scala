@@ -41,13 +41,18 @@ final case class DedupConfig(
     spanMaxTextChars: Int = 8000,    // per-doc char cap for the SA build
     spanAsDuplicate: Boolean = false, // OFF = label parity with the reference
     // ---- verify-stage MinHash-estimate prefilter (scale knob) ----
-    // Pairs whose signature-equality estimate falls outside (low, high)
-    // skip the exact-Jaccard shingle join: at 64 perms the estimate is
-    // >= ~4 sigma from the 0.75 vote threshold at both cutoffs, so the
-    // vote_min decision is unchanged w.h.p. while the full shingle arrays
-    // (the verify stage's dominant shuffle payload) ride only for the
-    // uncertainty band. Golden decision parity is asserted over the
-    // prefiltered pipeline (PipelineGoldenSpec).
+    // When enabled, pairs whose signature-equality estimate falls outside
+    // (low, high) skip the exact-Jaccard shingle join: at 64 perms the
+    // estimate is >= ~4 sigma from the 0.75 vote threshold at both
+    // cutoffs, so the vote_min decision is unchanged w.h.p. while the
+    // full shingle arrays ride only for the uncertainty band. Measured
+    // (tools/PrefilterBench + the N-vs-4N scaling runs): labels/clusters
+    // identical, but on the sandbox corpora the skip fraction is low and
+    // the extra join pass costs ~15% of the 4-executor wall — so the
+    // default is OFF (single-join dataflow); enable for boilerplate-heavy
+    // web corpora whose candidate sets are dominated by low-J skew pairs
+    // at beyond-broadcast pair volumes.
+    estPrefilter: Boolean = false,
     estSkipLow: Double = 0.40,
     estSkipHigh: Double = 0.97,
     // ---- misc ----

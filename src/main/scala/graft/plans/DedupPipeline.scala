@@ -181,52 +181,70 @@ object DedupPipeline {
     val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       MinHashSig.jaccardSorted(a.toArray, b.toArray))
 
-    val sa = sigs.select($"url".as("a_url"), $"minhash".as("a_mh"), $"n_shingles".as("a_nsh"),
-      $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
-    val sb = sigs.select($"url".as("b_url"), $"minhash".as("b_mh"), $"n_shingles".as("b_nsh"),
-      $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
-
     val bits = conf.simhashBits
     val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
       bit_count($"a_lo".bitwiseXOR($"b_lo"))).as("hamming")
 
-    // signature-equality estimate (codegen'd higher-order fns, no UDF)
-    val estCol = expr(
-      "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v)) / CAST(size(a_mh) AS DOUBLE)")
+    val scored: DataFrame = if (!conf.estPrefilter) {
+      // Default: single pair join carrying the shingle arrays once.
+      // Measured faster whenever the estimate-skip fraction is low or the
+      // pairs side is broadcastable (every sandbox corpus; see
+      // DedupConfig.estPrefilter).
+      val sa = sigs.select($"url".as("a_url"), $"shingles".as("a_sh"),
+        $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
+      val sb = sigs.select($"url".as("b_url"), $"shingles".as("b_sh"),
+        $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
+      cands.toDF()
+        .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
+        .withColumn("exact", $"a_eh" === $"b_eh")
+        .withColumn("jaccard", jaccardUdf($"a_sh", $"b_sh"))
+        .withColumn("hamming", hammingCol)
+        .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
+        .select($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
+    } else {
+      // Prefilter dataflow: the pair join ships only fixed-width columns;
+      // the size-unbounded shingle arrays join in for the estimate-
+      // uncertainty band only, and the skip/exact branches are unioned
+      // (no join-back shuffle).
+      val sa = sigs.select($"url".as("a_url"), $"minhash".as("a_mh"), $"n_shingles".as("a_nsh"),
+        $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
+      val sb = sigs.select($"url".as("b_url"), $"minhash".as("b_mh"), $"n_shingles".as("b_nsh"),
+        $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
+      // signature-equality estimate (codegen'd higher-order fns, no UDF)
+      val estCol = expr(
+        "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v)) / CAST(size(a_mh) AS DOUBLE)")
+      val pre = cands.toDF()
+        .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
+        .withColumn("exact", $"a_eh" === $"b_eh")
+        .withColumn("est", estCol)
+        .withColumn("hamming", hammingCol)
+        .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
+        // empty shingle sets carry sentinel signatures (est 1.0 vs another
+        // empty set) — always resolve those exactly (jaccardSorted: both
+        // empty -> 0.0, the reference's _jaccard_from_sets)
+        .withColumn("need_exact_j", !$"exact" &&
+          (($"est" > conf.estSkipLow && $"est" < conf.estSkipHigh) ||
+            $"a_nsh" === 0 || $"b_nsh" === 0))
+        .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
+          $"need_exact_j", $"a_nsh", $"b_nsh")
+        // narrow pairs-sized relation (~100B/row); persisting lets the two
+        // branches split WITHOUT re-running the pair join, and the branch
+        // union needs no join-back shuffle
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ja = sigs.select($"url".as("ja_url"), $"shingles".as("ja_sh"))
+      val jb = sigs.select($"url".as("jb_url"), $"shingles".as("jb_sh"))
+      val skipBranch = pre.filter(!$"need_exact_j")
+        .withColumn("jaccard",
+          when($"exact", when($"a_nsh" === 0 && $"b_nsh" === 0, 0.0).otherwise(1.0))
+            .otherwise($"est"))
+      val exactBranch = pre.filter($"need_exact_j")
+        .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
+        .withColumn("jaccard", jaccardUdf($"ja_sh", $"jb_sh"))
+      val cols = Seq($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
+      skipBranch.select(cols: _*).unionByName(exactBranch.select(cols: _*))
+    }
 
-    val pre = cands.toDF()
-      .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
-      .withColumn("exact", $"a_eh" === $"b_eh")
-      .withColumn("est", estCol)
-      .withColumn("hamming", hammingCol)
-      .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
-      // empty shingle sets carry sentinel signatures (est 1.0 vs another
-      // empty set) — always resolve those exactly (jaccardSorted: both
-      // empty -> 0.0, the reference's _jaccard_from_sets)
-      .withColumn("need_exact_j", !$"exact" &&
-        (($"est" > conf.estSkipLow && $"est" < conf.estSkipHigh) ||
-          $"a_nsh" === 0 || $"b_nsh" === 0))
-      .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
-        $"need_exact_j", $"a_nsh", $"b_nsh")
-
-    // pre is a narrow pairs-sized relation (~100B/row); persisting it lets
-    // the two branches below split WITHOUT re-running the pair join, and
-    // the branch union needs no join-back shuffle.
-    val preP = pre.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val ja = sigs.select($"url".as("ja_url"), $"shingles".as("ja_sh"))
-    val jb = sigs.select($"url".as("jb_url"), $"shingles".as("jb_sh"))
-    val skipBranch = preP.filter(!$"need_exact_j")
-      .withColumn("jaccard",
-        when($"exact", when($"a_nsh" === 0 && $"b_nsh" === 0, 0.0).otherwise(1.0))
-          .otherwise($"est"))
-    val exactBranch = preP.filter($"need_exact_j")
-      .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
-      .withColumn("jaccard", jaccardUdf($"ja_sh", $"jb_sh"))
-
-    val cols = Seq($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
-    val base = skipBranch.select(cols: _*)
-      .unionByName(exactBranch.select(cols: _*))
+    val base = scored
       .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
       .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
       .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))

@@ -65,9 +65,8 @@ object PrefilterBench {
     }
 
     runWith(DedupConfig.balanced, "warmup")
-    val (dOn, sOn, wOn, rOn) = runWith(DedupConfig.balanced, "on")
-    val (dOff, sOff, wOff, rOff) =
-      runWith(DedupConfig.balanced.copy(estSkipLow = -1.0, estSkipHigh = 2.0), "off")
+    val (dOn, sOn, wOn, rOn) = runWith(DedupConfig.balanced.copy(estPrefilter = true), "on")
+    val (dOff, sOff, wOff, rOff) = runWith(DedupConfig.balanced, "off")
 
     val a = spark.read.parquet(s"$dOn/06_verdicts").select(col("pair_key"), col("final_label").as("la"))
     val b = spark.read.parquet(s"$dOff/06_verdicts").select(col("pair_key"), col("final_label").as("lb"))
