@@ -287,6 +287,22 @@ object SparkEntry {
         col("lang"))
         .orderBy("url")
     }),
+    "q_media_meta" -> ((s, dir) => {
+      // multimodal: deterministic fake media derived from doc ids. Spark
+      // round-trips ENCODE -> binary column -> batched DECODE
+      // (MediaOps.imageMetaTable, the mapInPandas-shaped stage); DuckDB
+      // computes the expected metadata arithmetically from doc_id — a
+      // genuine plumbing oracle (broken byte parsing = hash mismatch).
+      import s.implicits._
+      val imgs = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val w = 64 + (id % 64).toInt * 8
+        val h = 48 + (id % 48).toInt * 8
+        val c = if (id % 7 == 0) 1 else 3
+        (id, graft.multimodal.MediaOps.encodeFakeImage(w, h, c, id))
+      }.toDF("doc_id", "img")
+      graft.multimodal.MediaOps.imageMetaTable(s, imgs, "doc_id", "img")
+        .orderBy("doc_id")
+    }),
     "q_label_assign" -> ((s, dir) => {
       // X5: cosine label assignment — argmax over a broadcast label matrix
       // (classifier.py:219-247); labels = the first 5 vectors
@@ -654,6 +670,17 @@ object SparkEntry {
         "CASE WHEN strpos(h, '<title>') > 0 AND strpos(h, '</title>') > strpos(h, '<title>') " +
         "THEN substr(h, strpos(h, '<title>') + 7, strpos(h, '</title>') - strpos(h, '<title>') - 7) ELSE '' END AS title, " +
         "lang FROM p ORDER BY url"),
+    "q_media_meta" ->
+      ("WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 64) * 8 AS INTEGER) AS width, " +
+        "CAST(48 + (doc_id % 48) * 8 AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels FROM documents) " +
+        "SELECT doc_id, width, height, channels, " +
+        "CAST(14 + (CAST(width AS BIGINT) * height * channels) % 4096 AS BIGINT) AS n_bytes, " +
+        "CAST(CASE WHEN greatest(width, height) <= 256 THEN width " +
+        "ELSE greatest(1, CAST(floor(width * (256.0::DOUBLE / greatest(width, height))) AS INTEGER)) END AS INTEGER) AS resized_w, " +
+        "CAST(CASE WHEN greatest(width, height) <= 256 THEN height " +
+        "ELSE greatest(1, CAST(floor(height * (256.0::DOUBLE / greatest(width, height))) AS INTEGER)) END AS INTEGER) AS resized_h " +
+        "FROM m ORDER BY doc_id"),
     "q_label_assign" ->
       ("SELECT vec_id, predicted_label FROM (" +
         "SELECT e.vec_id, l.vec_id AS predicted_label, " +

@@ -74,6 +74,45 @@ object Ann {
       .select($"a", $"b", $"cosine")
   }
 
+  /** IVF top-k — the coarse-quantizer scale path: KMeans learns `nlist`
+    * centroids (spark.ml, seeded), corpus vectors shuffle once into their
+    * nearest list, and each query probes only its `nprobe` nearest
+    * centroids' lists (centroids broadcast — they are tiny), scoring exact
+    * cosine within the probed subset. Corpus-side work is one KMeans fit +
+    * one list-keyed join; nothing all-pairs.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("features", array_to_vector(col("nbr_vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select($"nbr_id", $"nbr_vec", $"prediction".as("list_id"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        val lists = bc.value.map { case (i, c) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+          (i, d)
+        }.sortBy(_._2).take(nprobe).map(_._1)
+        lists.map(l => (qid, v, l))
+      }.toDF("query_id", "query_vec", "list_id")
+    val scored = probed.join(assigned, "list_id")
+      .filter($"query_id" =!= $"nbr_id")
+      .withColumn("cosine", cosineExpr("query_vec", "nbr_vec"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"nbr_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"nbr_id", $"cosine", $"rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed. */
   def cosineNearDup(spark: SparkSession, vectors: DataFrame, dim: Int, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
