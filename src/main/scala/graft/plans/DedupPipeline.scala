@@ -178,8 +178,13 @@ object DedupPipeline {
                   norm: Dataset[DocNorm], conf: DedupConfig): Dataset[Verdict] = {
     import spark.implicits._
 
-    val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      MinHashSig.jaccardSorted(a.toArray, b.toArray))
+    // native Catalyst expression (codegen'd merge over ArrayData, no UDF
+    // row conversion) — registered idempotently for sessions built in code;
+    // spark-submit deployments get it via spark.sql.extensions=
+    // graft.expr.GraftExtensions
+    graft.expr.JaccardSorted.register(spark)
+    def jaccardCol(a: String, b: String) =
+      expr(s"${graft.expr.JaccardSorted.name}($a, $b)")
 
     val bits = conf.simhashBits
     val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
@@ -197,7 +202,7 @@ object DedupPipeline {
       cands.toDF()
         .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
         .withColumn("exact", $"a_eh" === $"b_eh")
-        .withColumn("jaccard", jaccardUdf($"a_sh", $"b_sh"))
+        .withColumn("jaccard", jaccardCol("a_sh", "b_sh"))
         .withColumn("hamming", hammingCol)
         .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
         .select($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
@@ -239,7 +244,7 @@ object DedupPipeline {
             .otherwise($"est"))
       val exactBranch = pre.filter($"need_exact_j")
         .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
-        .withColumn("jaccard", jaccardUdf($"ja_sh", $"jb_sh"))
+        .withColumn("jaccard", jaccardCol("ja_sh", "jb_sh"))
       val cols = Seq($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
       skipBranch.select(cols: _*).unionByName(exactBranch.select(cols: _*))
     }

@@ -135,6 +135,24 @@ object TextOps extends Serializable {
     acc ^ java.lang.Long.rotateLeft(minH, 17)
   }
 
+  /** T3 — shared-shingle rationale (minhash_model.py:395-407): exact
+    * Jaccard over shingle STRING sets plus a 5-shingle sample of the
+    * intersection and overlap/universe sizes, for human-facing evidence on
+    * decided pairs (never the hot path — the pipeline carries hashed
+    * shingles). The reference samples the intersection in Python-set
+    * iteration order (unspecified); we take the lexicographically first 5
+    * — deterministic, same information.
+    */
+  def sharedShingleRationale(tokensA: Array[String], tokensB: Array[String],
+                             k: Int): (Double, Seq[String], Int, Int) = {
+    val sa = graft.norm.TextNorm.wordShingles(tokensA, k).toSet
+    val sb = graft.norm.TextNorm.wordShingles(tokensB, k).toSet
+    val inter = sa.intersect(sb)
+    val union = sa.size + sb.size - inter.size
+    val j = if (union == 0) 0.0 else inter.size.toDouble / union
+    (j, inter.toSeq.sorted.take(5), inter.size, union)
+  }
+
   /** SimHash-based 64-bit near-dup fingerprint over word 2-shingles —
     * cheap per-doc signature for blocking.
     */

@@ -56,6 +56,36 @@ class EntryQueriesSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 0), (2L, "B", 1), (3L, "c", 0), (4L, "D", 1)))
   }
 
+  test("native graft_jaccard_sorted expression matches MinHashSig.jaccardSorted") {
+    import spark.implicits._
+    graft.expr.JaccardSorted.register(spark)
+    val rng = new graft.pages.PagesSource.DetRng(321L)
+    val cases = (0 until 300).map { i =>
+      def set(n: Int) = Array.fill(n)(rng.nextLong() % 1000).distinct.sorted
+      (i.toLong, set(rng.nextInt(40)), set(rng.nextInt(40)))
+    } :+ ((300L, Array.empty[Long], Array.empty[Long])) :+
+      ((301L, Array.empty[Long], Array(1L, 2L)))
+    val df = cases.toDF("id", "a", "b")
+      .selectExpr("id", "graft_jaccard_sorted(a, b) AS j")
+      .as[(Long, Double)].collect().toMap
+    cases.foreach { case (id, a, b) =>
+      assert(df(id) == graft.sig.MinHashSig.jaccardSorted(a, b), s"case $id")
+    }
+  }
+
+  test("shared-shingle rationale: exact jaccard + deterministic 5-sample") {
+    val ta = "the quick brown fox jumps over the lazy dog today".split(' ')
+    val tb = "the quick brown fox leaps over the lazy dog today".split(' ')
+    val (j, sample, nInter, nUnion) = graft.text.TextOps.sharedShingleRationale(ta, tb, 3)
+    assert(nInter > 0 && nUnion >= nInter)
+    assert(j == nInter.toDouble / nUnion)
+    assert(sample.size <= 5 && sample == sample.sorted)
+    assert(sample.forall(s => s.split(' ').length == 3))
+    // identical docs: jaccard 1, sample = first 5 shingles alphabetically
+    val (j2, s2, _, _) = graft.text.TextOps.sharedShingleRationale(ta, ta, 3)
+    assert(j2 == 1.0 && s2.size == 5)
+  }
+
   test("filename_tokens query produces stable exploded rows") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_filename_tokens")(spark, sf)
