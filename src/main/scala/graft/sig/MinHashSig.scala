@@ -82,16 +82,39 @@ object MinHashSig extends Serializable {
     java.util.Arrays.fill(sig, MersennePrime - 1)
     var j = 0
     while (j < shingleHashes.length) {
-      val h = modp(shingleHashes(j)) // modp treats its input as unsigned 64-bit
-      var i = 0
-      while (i < k) {
-        val v = modp(mulmod61(as(i), h) + bs(i))
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
+      update(sig, shingleHashes(j), as, bs)
       j += 1
     }
     sig
+  }
+
+  /** Empty-set signature (the aggregator zero / merge identity). */
+  def emptySignature(numPerm: Int): Array[Long] = {
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, MersennePrime - 1)
+    sig
+  }
+
+  /** In-place per-element signature update — the streaming/aggregator
+    * form; `signature` above is a fold of this, so per-doc and per-group
+    * sketches are interchangeable.
+    */
+  def update(sig: Array[Long], elementHash: Long, as: Array[Long], bs: Array[Long]): Unit = {
+    val h = modp(elementHash) // modp treats its input as unsigned 64-bit
+    var i = 0
+    while (i < sig.length) {
+      val v = modp(mulmod61(as(i), h) + bs(i))
+      if (v < sig(i)) sig(i) = v
+      i += 1
+    }
+  }
+
+  /** Elementwise-min merge: signature(A ∪ B) from signatures of A and B. */
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = math.min(a(i), b(i)); i += 1 }
+    out
   }
 
   /** Signature-equality Jaccard estimate — minhash_model.py:483-487. */
