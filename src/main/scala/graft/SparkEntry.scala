@@ -88,6 +88,39 @@ object SparkEntry {
     p
   }
 
+  /** Deterministic single-file CSV/JSONL dumps of (doc_id, text) — the
+    * import-source fixtures for q_csv_import / q_json_import, read back by
+    * both Spark and DuckDB.
+    */
+  def csvDumpPath(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_csvsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$p/_SUCCESS").exists())
+      docs(s, dir).select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
+    p
+  }
+
+  /** Sources.jsonDocs follows the reference's S6 shape — ONE JSON ARRAY of
+    * {doc_id, text} objects (cli_nd.py:150-189) — so the fixture is a
+    * single array file (driver-sized by design: it models the reference's
+    * hand-curated import files, not a distributed source).
+    */
+  def jsonDumpPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val p = s"/tmp/graft_jsonsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}.json"
+    if (!new java.io.File(p).exists()) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.createArrayNode()
+      docs(s, dir).select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .as[(String, String)].orderBy("doc_id").collect()
+        .foreach { case (id, t) =>
+          val o = arr.addObject(); o.put("doc_id", id); o.put("text", t): Unit
+        }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), mapper.writeValueAsString(arr))
+    }
+    p
+  }
+
   /** Two persisted calibration snapshots (different sample caps) feeding the
     * M12 drift compare; DuckDB recomputes the join/deltas from the same
     * parquet.
@@ -229,6 +262,20 @@ object SparkEntry {
         .select(sha2(lower(trim(col("text"))), 256).as("content_hash")).distinct()
       graft.sources.Sources.dedupIngest(batch, "text", seen)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q_csv_import" -> ((s, dir) => {
+      // S5: docs written to CSV by Spark, re-read through Sources.csvDocs;
+      // DuckDB reads the SAME file independently — import-path oracle
+      // (the sf texts carry no commas/quotes/newlines, so the formats agree)
+      val p = csvDumpPath(s, dir)
+      graft.sources.Sources.csvDocs(s, p)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    "q_json_import" -> ((s, dir) => {
+      // S6: JSON-lines written by Spark, re-read through Sources.jsonDocs
+      val p = jsonDumpPath(s, dir)
+      graft.sources.Sources.jsonDocs(s, p)
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
     }),
     "q_file_mapping" -> ((s, dir) => {
       // S10: doc<->file mapping upsert (sqlite_store.py:156-182
@@ -613,6 +660,12 @@ object SparkEntry {
         "firstper AS (SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1), " +
         "seen AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 = 0) " +
         "SELECT doc_id FROM firstper WHERE content_hash NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
+    "q_csv_import" ->
+      (s"SELECT doc_id, text FROM read_csv('/tmp/graft_csvsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*.csv', " +
+        "header = true, all_varchar = true) ORDER BY doc_id"),
+    "q_json_import" ->
+      (s"SELECT doc_id, text FROM read_json_auto('/tmp/graft_jsonsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}.json') " +
+        "ORDER BY doc_id"),
     "q_file_mapping" ->
       ("WITH existing AS (SELECT doc_id, '/data/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, 0 AS ver FROM documents), " +
         "updates AS (SELECT doc_id, '/data2/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, 1 AS ver FROM documents WHERE doc_id % 4 = 0) " +
