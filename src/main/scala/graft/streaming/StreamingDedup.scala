@@ -69,6 +69,62 @@ object StreamingDedup {
         })
   }
 
+  /** Streaming NEAR-duplicate candidate generation: each page is signed
+    * with the batch pipeline's MinHash (same config → same buckets as the
+    * batch path), exploded into its LSH band keys, and matched against a
+    * per-(band,bucket) keyed state of previously seen urls
+    * (flatMapGroupsWithState — the state store holds at most
+    * `maxBucketUrls` urls per bucket, the streaming form of the batch
+    * mega-bucket guard).
+    *
+    * Emission is at-least-once per candidate pair (a pair colliding in
+    * several bands or re-arriving is emitted again): downstream
+    * verification is idempotent by pair_key, exactly like the batch
+    * pipeline's distinct(). Pairs are (a, b) with a < b.
+    */
+  def nearDupCandidates(spark: SparkSession, pages: Dataset[Page],
+                        conf: graft.DedupConfig = graft.DedupConfig.balanced,
+                        maxBucketUrls: Int = 64): Dataset[(String, String)] = {
+    import spark.implicits._
+    val c = conf
+    val bandRows: Dataset[(Long, String)] = pages.mapPartitions { it =>
+      val (as, bs) = graft.sig.MinHashSig.permutations(c.numPerm, c.seed)
+      val graft.lsh.LshParams.BandsRows(b, r) = graft.lsh.LshParams.optimal(
+        c.lshThreshold, c.numPerm, c.lshFpWeight, c.lshFnWeight)
+      it.flatMap { p =>
+        if (p.text == null || p.text.trim.isEmpty) Iterator.empty
+        else {
+          val d = graft.plans.DedupPipeline.normalizeDoc(p.url, p.text, p.lang)
+          val sig = graft.plans.DedupPipeline.signDoc(d, c, as, bs)
+          (0 until b).iterator.map { band =>
+            // key packs (band, bucket-hash) into one long group key
+            val bucket = graft.hash.XXH64.hashLongs(
+              sig.minhash, band * r, band * r + r, band.toLong)
+            (bucket * 31L + band, p.url)
+          }
+        }
+      }
+    }
+    bandRows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, String)], state: GroupState[Seq[String]]) => {
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val newUrls = rows.map(_._2).toSeq.distinct.filterNot(seen.contains)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          // new vs stored, plus new vs new within this batch
+          newUrls.foreach { u =>
+            seen.foreach(v => if (u != v) out += (if (u < v) (u, v) else (v, u)))
+          }
+          for (i <- newUrls.indices; j <- (i + 1) until newUrls.size) {
+            val (u, v) = (newUrls(i), newUrls(j))
+            out += (if (u < v) (u, v) else (v, u))
+          }
+          val merged = (seen ++ newUrls).take(maxBucketUrls)
+          state.update(merged)
+          out.distinct.iterator
+        })
+  }
+
   /** Watermarked sliding corpus metrics: per-window language histogram —
     * the streaming twin of q_lang_hist. Late data beyond the watermark is
     * dropped, closed windows are emitted exactly once in Append mode.

@@ -61,6 +61,34 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: LSH-bucket collisions across batches, unrelated pages never pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two near-duplicate long docs (small token edit) + one unrelated doc,
+    // arriving in different micro-batches
+    val rng = new graft.pages.PagesSource.DetRng(99)
+    val base = (0 until 200).map(_ => s"w${rng.nextInt(400)}").mkString(" ")
+    val near = base.split(' ').zipWithIndex
+      .map { case (w, i) => if (i % 25 == 7) "edited" else w }.mkString(" ")
+    val other = (0 until 200).map(_ => s"z${rng.nextInt(400) + 1000}").mkString(" ")
+    val in = MemoryStream[graft.model.Schemas.Page]
+    val q = StreamingDedup.nearDupCandidates(spark, in.toDS())
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("near_cand_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(page("n1", base, 0), page("n3", other, 1))
+      q.processAllAvailable()
+      in.addData(page("n2", near, 2))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT a, b FROM near_cand_out")
+        .as[(String, String)].collect().toSet
+      assert(pairs.contains(("n1", "n2")), s"near-dup pair not surfaced: $pairs")
+      assert(!pairs.exists(p => p._1 == "n3" || p._2 == "n3"),
+        s"unrelated page paired: $pairs")
+    } finally q.stop()
+  }
+
   test("windowedLangHistogram aggregates per (window, lang) under a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
