@@ -27,13 +27,18 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import spark.implicits._
 
-    // Partition count scales with the edge relation: ~64k edges per task
-    // keeps per-round task overhead flat on tiny inputs (the sandbox) while
-    // a billion-edge web corpus fans out to the full cluster parallelism.
-    // The single count() pass is cheap next to the O(log n) join rounds.
+    // Partition count scales with the edge relation (~64k edges per task)
+    // but never drops below ~parallelism/4: a small dup-edge set on a big
+    // cluster must still spread its join rounds (collapsing to 2 tasks at
+    // 32 cores serialized CC and cost ~0.1 scaling efficiency — round-2
+    // measurement), while a billion-edge corpus fans out to 4x the cluster
+    // parallelism. The single count() pass is cheap next to the O(log n)
+    // join rounds.
     val nEdges = edges.count()
-    val ccParts = math.max(2, math.min(
-      math.max(spark.sparkContext.defaultParallelism * 4, 8),
+    val par = spark.sparkContext.defaultParallelism
+    val floor = math.max(2, math.min(par / 4, 16))
+    val ccParts = math.max(floor, math.min(
+      math.max(par * 4, 8),
       (nEdges / 65536L + 1L).toInt))
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
