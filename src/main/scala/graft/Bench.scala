@@ -143,12 +143,15 @@ object ScalingBench {
       .getOrCreate()
   }
 
+  /** Pause between two local-clusters in ONE JVM: a fresh app racing the
+    * previous cluster's teardown can get "requires more resource than any
+    * of Workers" and hang waiting for executors. (The `once` mode never
+    * needs this — one cluster per JVM.)
+    */
+  def interClusterPause(): Unit = Thread.sleep(8000)
+
   def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,
                      variants: Int): (Long, Double) = {
-    // let the previous local-cluster's master/worker JVMs finish tearing
-    // down: a fresh app that races them can get "requires more resource
-    // than any of Workers" and hang waiting for executors
-    Thread.sleep(8000)
     val spark = buildClusterSpark(workers, coresPerWorker,
       sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker)
     spark.sparkContext.setLogLevel("WARN")
@@ -207,8 +210,10 @@ object ScalingBench {
       var sLo = Double.MaxValue
       var sHi = Double.MaxValue
       (1 to reps).foreach { _ =>
+        interClusterPause()
         val (n, l) = runOnceCluster(wLo, cpw, sfDir, variants)
         n1 = n; sLo = math.min(sLo, l)
+        interClusterPause()
         val (_, h) = runOnceCluster(wHi, cpw, sfDir, variants)
         sHi = math.min(sHi, h)
         System.err.println(f"[scaling-cluster] lo=$sLo%.2f hi=$sHi%.2f")

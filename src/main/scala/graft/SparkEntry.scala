@@ -116,7 +116,13 @@ object SparkEntry {
         .foreach { case (id, t) =>
           val o = arr.addObject(); o.put("doc_id", id); o.put("text", t): Unit
         }
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), mapper.writeValueAsString(arr))
+      // atomic publish: a crash mid-write must not leave a truncated file
+      // that later runs treat as complete
+      val tmp = java.nio.file.Paths.get(p + ".tmp")
+      java.nio.file.Files.writeString(tmp, mapper.writeValueAsString(arr))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(p),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     p
   }
@@ -130,8 +136,12 @@ object SparkEntry {
     val rd = pipelineRunDir(s, dir)
     val prev = s"$rd/08_calib_prev"
     val curr = s"$rd/08_calib_curr"
-    if (!new java.io.File(s"$prev/_SUCCESS").exists() ||
-        !new java.io.File(s"$curr/_SUCCESS").exists()) {
+    // same resume discipline as the pipeline stages: a config/code change
+    // (new configHash) invalidates persisted snapshots, not just absence
+    val ch = DedupConfig.balanced.configHash
+    def done(p: String) = new java.io.File(s"$p/_SUCCESS").exists() &&
+      new java.io.File(s"$p/_graft_conf_$ch").exists()
+    if (!done(prev) || !done(curr)) {
       val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
       val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
       val a = graft.plans.Bootstrap.calibrate(s, norm, sigs, DedupConfig.balanced,
@@ -140,6 +150,8 @@ object SparkEntry {
         maxPos = 5000, maxNeg = 5000)
       s.createDataFrame(a).coalesce(1).write.mode("overwrite").parquet(prev)
       s.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(curr)
+      Seq(prev, curr).foreach(p => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$p/_graft_conf_$ch"), ch))
     }
     (prev, curr)
   }
@@ -687,7 +699,10 @@ object SparkEntry {
         s"len(list_filter(toks, x -> x IN $inList)) AS h_$lang"
       }.mkString(", ")
       "WITH t AS (SELECT doc_id, lang, text, " +
-        "list_transform(regexp_split_to_array(lower(text), '\\s+')[1:500], x -> regexp_replace(x, '[^a-zA-Z]', '', 'g')) AS toks FROM documents), " +
+        // \p{L} mirrors the Scala side's Unicode letter class (RE2 supports
+        // it); the CJK codepoint-ratio branch remains un-mirrored and is
+        // documented in COVERAGE.md (unexercised by the ASCII sf corpus)
+        "list_transform(regexp_split_to_array(lower(text), '\\s+')[1:500], x -> regexp_replace(x, '[^\\p{L}]', '', 'g')) AS toks FROM documents), " +
         s"h AS (SELECT doc_id, lang, text, $markerSql FROM t) " +
         "SELECT doc_id, lang, CASE WHEN text IS NULL OR text = '' THEN 'und' " +
         "WHEN greatest(h_en, h_de, h_fr, h_es) < 2 THEN 'und' " +
@@ -698,9 +713,9 @@ object SparkEntry {
     },
     "q_quality_score" ->
       ("WITH q AS (SELECT doc_id, text, length(text) AS n, " +
-        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, " +
-        "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit, " +
-        "length(text) - length(regexp_replace(text, '[\\t\\n\\v\\f\\r ]', '', 'g')) AS ws, " +
+        "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha, " +
+        "length(regexp_replace(text, '[^\\p{Nd}]', '', 'g')) AS digit, " +
+        "length(text) - length(regexp_replace(text, '[\\t\\n\\v\\f\\r\\x1c-\\x1f ]', '', 'g')) AS ws, " +
         "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks FROM documents), " +
         "r AS (SELECT doc_id, n, len(toks) AS ntok, " +
         "CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_tok, " +

@@ -37,9 +37,8 @@ object ConnectedComponents {
     val nEdges = edges.count()
     val par = spark.sparkContext.defaultParallelism
     val floor = math.max(2, math.min(par / 4, 16))
-    val ccParts = math.max(floor, math.min(
-      math.max(par * 4, 8),
-      (nEdges / 65536L + 1L).toInt))
+    val byEdges = math.min(nEdges / 65536L + 1L, Int.MaxValue.toLong).toInt // no Int wrap at 1e14+ edges
+    val ccParts = math.max(floor, math.min(math.max(par * 4, 8), byEdges))
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
       .distinct()

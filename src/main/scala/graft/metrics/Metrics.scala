@@ -138,8 +138,11 @@ object Metrics {
     * distributed scan, no global single-task window.
     */
   def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // scoreCumulative's range-partitioned parent is localCheckpoint'ed, so
+    // the totals pass and the projection below both re-derive `cum` cheaply
+    // — no session-lifetime persist (ContextCleaner reclaims checkpoint
+    // blocks once unreferenced; CacheManager entries would leak per call)
     val cum = scoreCumulative(df, scoreCol, labelCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = cum.agg(sum(col("pos")).cast("long").as("P"),
       sum(col("tot") - col("pos")).cast("long").as("N")).first()
     val p = totals.getLong(0).toDouble

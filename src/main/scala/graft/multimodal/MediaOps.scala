@@ -97,14 +97,18 @@ object MediaOps extends Serializable {
     out
   }
 
+  private def hasMagic(bytes: Array[Byte], kind: Byte): Boolean =
+    bytes.length >= 14 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+      bytes(2) == Magic(2) && bytes(3) == Magic(3) && bytes(4) == kind
+
   /** STUBBED decode (real byte parsing, fake pixels — see class doc). */
   def decodeImageMeta(bytes: Array[Byte]): ImageMeta = {
-    require(bytes.length >= 14 && bytes(4) == KindImage, "not a GRFT image")
+    require(hasMagic(bytes, KindImage), "not a GRFT image")
     ImageMeta(getInt(bytes, 5), getInt(bytes, 9), bytes(13) & 0xFF, bytes.length)
   }
 
   def decodeAudioMeta(bytes: Array[Byte]): AudioMeta = {
-    require(bytes.length >= 14 && bytes(4) == KindAudio, "not a GRFT audio")
+    require(hasMagic(bytes, KindAudio), "not a GRFT audio")
     val rate = getInt(bytes, 5); val n = getInt(bytes, 9)
     AudioMeta(rate, n, bytes(13) & 0xFF, n.toDouble / rate, bytes.length)
   }
@@ -113,7 +117,7 @@ object MediaOps extends Serializable {
     * stubbed, the exploded-binary-frames dataflow is the real thing.
     */
   def frameSample(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
-    require(bytes.length >= 14 && bytes(4) == KindVideo, "not a GRFT video")
+    require(hasMagic(bytes, KindVideo), "not a GRFT video")
     val nFrames = bytes(13) & 0xFF
     var off = 14
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]

@@ -232,10 +232,11 @@ object DedupPipeline {
             $"a_nsh" === 0 || $"b_nsh" === 0))
         .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
           $"need_exact_j", $"a_nsh", $"b_nsh")
-        // narrow pairs-sized relation (~100B/row); persisting lets the two
-        // branches split WITHOUT re-running the pair join, and the branch
-        // union needs no join-back shuffle
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // narrow pairs-sized relation (~100B/row); localCheckpoint lets the
+        // two branches split WITHOUT re-running the pair join (and, unlike
+        // persist, its blocks are reclaimed by the ContextCleaner when the
+        // plan goes out of scope — no session-lifetime cache leak per run)
+        .localCheckpoint()
       val ja = sigs.select($"url".as("ja_url"), $"shingles".as("ja_sh"))
       val jb = sigs.select($"url".as("jb_url"), $"shingles".as("jb_sh"))
       val skipBranch = pre.filter(!$"need_exact_j")

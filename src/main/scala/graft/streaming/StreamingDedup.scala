@@ -109,18 +109,29 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, rows: Iterator[(Long, String)], state: GroupState[Seq[String]]) => {
           val seen = state.getOption.getOrElse(Seq.empty)
-          val newUrls = rows.map(_._2).toSeq.distinct.filterNot(seen.contains)
+          // admit only up to the bucket's remaining capacity — the cap
+          // bounds BOTH the O(n^2) within-batch pair emission and the
+          // buffered urls (a mega-bucket micro-batch is truncated here
+          // exactly like the batch pipeline drops mega-buckets), so the
+          // state function never materializes an unbounded group
+          val capacity = math.max(0, maxBucketUrls - seen.size)
+          val seenSet = seen.toSet
+          val admitted = scala.collection.mutable.ArrayBuffer.empty[String]
+          val admittedSet = scala.collection.mutable.HashSet.empty[String]
+          while (rows.hasNext && admitted.size < capacity) {
+            val u = rows.next()._2
+            if (!seenSet.contains(u) && admittedSet.add(u)) admitted += u
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           // new vs stored, plus new vs new within this batch
-          newUrls.foreach { u =>
+          admitted.foreach { u =>
             seen.foreach(v => if (u != v) out += (if (u < v) (u, v) else (v, u)))
           }
-          for (i <- newUrls.indices; j <- (i + 1) until newUrls.size) {
-            val (u, v) = (newUrls(i), newUrls(j))
+          for (i <- admitted.indices; j <- (i + 1) until admitted.size) {
+            val (u, v) = (admitted(i), admitted(j))
             out += (if (u < v) (u, v) else (v, u))
           }
-          val merged = (seen ++ newUrls).take(maxBucketUrls)
-          state.update(merged)
+          state.update(seen ++ admitted)
           out.distinct.iterator
         })
   }

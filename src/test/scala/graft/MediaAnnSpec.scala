@@ -23,6 +23,15 @@ class MediaAnnSpec extends AnyFunSuite {
       }
   }
 
+  test("foreign binary blobs are rejected, not decoded into garbage") {
+    val jpegish = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte,
+      MediaOps.KindImage, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    intercept[IllegalArgumentException](MediaOps.decodeImageMeta(jpegish))
+    intercept[IllegalArgumentException](MediaOps.decodeAudioMeta(
+      MediaOps.encodeFakeImage(8, 8, 1, 1L))) // wrong kind byte
+    intercept[IllegalArgumentException](MediaOps.frameSample(Array[Byte](1, 2, 3), 1))
+  }
+
   test("audio decode: duration = samples / rate") {
     val bytes = MediaOps.encodeFakeAudio(16000, 48000, 2, 5L)
     val m = MediaOps.decodeAudioMeta(bytes)

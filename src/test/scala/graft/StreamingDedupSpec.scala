@@ -89,6 +89,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidates bucket cap bounds within-batch pair emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new graft.pages.PagesSource.DetRng(7)
+    val base = (0 until 150).map(_ => s"c${rng.nextInt(300)}").mkString(" ")
+    val in = MemoryStream[graft.model.Schemas.Page]
+    val q = StreamingDedup.nearDupCandidates(spark, in.toDS(), maxBucketUrls = 2)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("near_cap_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 4 exact near-dups in ONE batch: with cap 2 only one pair per
+      // bucket can emit — never the full 6-pair clique
+      in.addData((1 to 4).map(i => page(s"c$i", base, i)): _*)
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT a, b FROM near_cap_out")
+        .as[(String, String)].collect().toSet
+      assert(pairs.nonEmpty, "cap 2 should still admit one pair")
+      assert(pairs.size < 6, s"mega-bucket clique not truncated: $pairs")
+    } finally q.stop()
+  }
+
   test("windowedLangHistogram aggregates per (window, lang) under a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
