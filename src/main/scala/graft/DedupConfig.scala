@@ -51,7 +51,9 @@ final case class DedupConfig(
     // the extra join pass costs ~15% of the 4-executor wall — so the
     // default is OFF (single-join dataflow); enable for boilerplate-heavy
     // web corpora whose candidate sets are dominated by low-J skew pairs
-    // at beyond-broadcast pair volumes.
+    // at beyond-broadcast pair volumes. Skip-band pairs carry the estimate
+    // in `jaccard` with `jaccard_est = true` (Verdict schema), so
+    // score-derived metrics can exclude or flag estimated rows.
     estPrefilter: Boolean = false,
     estSkipLow: Double = 0.40,
     estSkipHigh: Double = 0.97,
@@ -60,7 +62,7 @@ final case class DedupConfig(
     // Participates in configHash via toString: bump whenever a stage's
     // OUTPUT semantics change so persisted stage dirs from older code
     // versions fail the resume check and recompute.
-    codeVersion: Int = 2
+    codeVersion: Int = 3
 ) {
 
   /** Effective consensus requirement — arbiter.py:254-258. */

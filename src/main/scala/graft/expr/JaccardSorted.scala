@@ -65,7 +65,7 @@ object JaccardSorted {
 
   val name = "graft_jaccard_sorted"
   private val info = new ExpressionInfo(classOf[JaccardSorted].getName, name)
-  private val builder = (children: Seq[Expression]) => {
+  private[expr] val builder = (children: Seq[Expression]) => {
     require(children.size == 2, s"$name expects 2 arguments")
     JaccardSorted(children.head, children(1))
   }
@@ -84,8 +84,10 @@ object JaccardSorted {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // shared builder: its arity require turns a wrong-arity call into an
+    // analysis-time error instead of an opaque children.head crash
     ext.injectFunction((FunctionIdentifier(JaccardSorted.name),
       new ExpressionInfo(classOf[JaccardSorted].getName, JaccardSorted.name),
-      (children: Seq[Expression]) => JaccardSorted(children.head, children(1))))
+      JaccardSorted.builder))
   }
 }

@@ -82,6 +82,9 @@ object MediaOps extends Serializable {
 
   /** Fake video: nFrames frames, each a fake image blob, length-prefixed. */
   def encodeFakeVideo(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    // the frame count is a single header byte — more frames would silently
+    // wrap the header and desync frameSample's walk
+    require(nFrames >= 0 && nFrames <= 255, s"nFrames must be in [0, 255], got $nFrames")
     val frames = (0 until nFrames).map(f => encodeFakeImage(width, height, 3, seed * 31 + f))
     val total = 14 + frames.map(4 + _.length).sum
     val out = new Array[Byte](total)
@@ -117,6 +120,7 @@ object MediaOps extends Serializable {
     * stubbed, the exploded-binary-frames dataflow is the real thing.
     */
   def frameSample(bytes: Array[Byte], everyN: Int): Seq[Array[Byte]] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     require(hasMagic(bytes, KindVideo), "not a GRFT video")
     val nFrames = bytes(13) & 0xFF
     var off = 14

@@ -203,9 +203,10 @@ object DedupPipeline {
         .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
         .withColumn("exact", $"a_eh" === $"b_eh")
         .withColumn("jaccard", jaccardCol("a_sh", "b_sh"))
+        .withColumn("jaccard_est", lit(false))
         .withColumn("hamming", hammingCol)
         .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
-        .select($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
+        .select($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim")
     } else {
       // Prefilter dataflow: the pair join ships only fixed-width columns;
       // the size-unbounded shingle arrays join in for the estimate-
@@ -243,10 +244,13 @@ object DedupPipeline {
         .withColumn("jaccard",
           when($"exact", when($"a_nsh" === 0 && $"b_nsh" === 0, 0.0).otherwise(1.0))
             .otherwise($"est"))
+        // exact pairs get the definitionally-exact 1.0/0.0, not an estimate
+        .withColumn("jaccard_est", !$"exact")
       val exactBranch = pre.filter($"need_exact_j")
         .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
         .withColumn("jaccard", jaccardCol("ja_sh", "jb_sh"))
-      val cols = Seq($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim")
+        .withColumn("jaccard_est", lit(false))
+      val cols = Seq($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim")
       skipBranch.select(cols: _*).unionByName(exactBranch.select(cols: _*))
     }
 
@@ -254,7 +258,7 @@ object DedupPipeline {
       .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
       .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
       .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))
-      .select($"a", $"b", $"exact", $"jaccard", $"hamming", $"sim_sim",
+      .select($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim",
         $"vote_sim", $"vote_min", $"votes_base")
 
     val need = conf.requiredVotes
@@ -342,7 +346,7 @@ object DedupPipeline {
     labeled.select($"a", $"b",
         when($"a" <= $"b", concat($"a", lit("||"), $"b"))
           .otherwise(concat($"b", lit("||"), $"a")).as("pair_key"),
-        $"exact", $"jaccard", $"hamming", $"sim_sim", $"emb_cos",
+        $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim", $"emb_cos",
         ($"exact" || $"vote_sim").as("vote_sim"),
         ($"exact" || $"vote_min").as("vote_min"),
         ($"exact" || $"vote_emb").as("vote_emb"),

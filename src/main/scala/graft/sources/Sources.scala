@@ -52,10 +52,23 @@ object Sources {
 
   /** S10 — keyed upsert (sqlite_store.py:156-182 INSERT OR REPLACE done
     * set-wise): rows from `updates` win per key, everything else from
-    * `existing` survives. One anti-join — no window, no driver loop.
+    * `existing` survives. INSERT OR REPLACE keeps exactly ONE row per key,
+    * so duplicate keys within `updates` are resolved first — the
+    * lexicographically-greatest row (by the non-key columns) wins, a
+    * deterministic set-wise stand-in for sqlite's last-write-wins.
     */
-  def upsertByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
-    existing.join(updates.select(col(key)), Seq(key), "left_anti").unionByName(updates)
+  def upsertByKey(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val others = updates.columns.filterNot(_ == key)
+    val onePerKey =
+      if (others.isEmpty) updates.distinct()
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(others.map(c => col(c).desc): _*)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    existing.join(onePerKey.select(col(key)), Seq(key), "left_anti").unionByName(onePerKey)
+  }
 
   /** A7 — ingest-time exact dedup: keep the first row per content hash
     * within the batch, then anti-join against the seen-hashes table.

@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermarked windowed corpus metrics. Both are pure
   * `readStream → transform → writeStream` declarative plans: state is
   * managed by Spark's streaming state store (RocksDB-backed on a real
-  * cluster), pruned by watermark — no unbounded driver state.
+  * cluster) and pruned — by watermark (dedupStream) or by state timeout
+  * (the keyed-state operators) — no unbounded driver state.
   */
 object StreamingDedup {
 
@@ -81,10 +82,19 @@ object StreamingDedup {
     * several bands or re-arriving is emitted again): downstream
     * verification is idempotent by pair_key, exactly like the batch
     * pipeline's distinct(). Pairs are (a, b) with a < b.
+    *
+    * State retention: the per-bucket url cap bounds each ENTRY, and
+    * `stateTimeout` bounds the entry COUNT — idle (band, bucket) keys are
+    * evicted after that much processing time, so a long-running stream's
+    * bucket-key state can't grow without bound. `None` keeps state forever
+    * (bounded corpora / tests — same caveat as dedupStreamStateful: a
+    * processing-time timeout schedules continuous no-data micro-batches,
+    * so processAllAvailable-driven tests should pass None).
     */
   def nearDupCandidates(spark: SparkSession, pages: Dataset[Page],
                         conf: graft.DedupConfig = graft.DedupConfig.balanced,
-                        maxBucketUrls: Int = 64): Dataset[(String, String)] = {
+                        maxBucketUrls: Int = 64,
+                        stateTimeout: Option[String] = Some("2 hours")): Dataset[(String, String)] = {
     import spark.implicits._
     val c = conf
     val bandRows: Dataset[(Long, String)] = pages.mapPartitions { it =>
@@ -105,9 +115,13 @@ object StreamingDedup {
         }
       }
     }
+    val mode = stateTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     bandRows.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, mode)(
         (_: Long, rows: Iterator[(Long, String)], state: GroupState[Seq[String]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val seen = state.getOption.getOrElse(Seq.empty)
           // admit only up to the bucket's remaining capacity — the cap
           // bounds BOTH the O(n^2) within-batch pair emission and the
@@ -132,7 +146,9 @@ object StreamingDedup {
             out += (if (u < v) (u, v) else (v, u))
           }
           state.update(seen ++ admitted)
+          stateTimeout.foreach(state.setTimeoutDuration)
           out.distinct.iterator
+          }
         })
   }
 

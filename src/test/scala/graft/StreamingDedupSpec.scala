@@ -72,7 +72,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       .map { case (w, i) => if (i % 25 == 7) "edited" else w }.mkString(" ")
     val other = (0 until 200).map(_ => s"z${rng.nextInt(400) + 1000}").mkString(" ")
     val in = MemoryStream[graft.model.Schemas.Page]
-    val q = StreamingDedup.nearDupCandidates(spark, in.toDS())
+    val q = StreamingDedup.nearDupCandidates(spark, in.toDS(), stateTimeout = None)
       .toDF("a", "b")
       .writeStream.format("memory").queryName("near_cand_out")
       .outputMode(OutputMode.Append).start()
@@ -95,7 +95,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val rng = new graft.pages.PagesSource.DetRng(7)
     val base = (0 until 150).map(_ => s"c${rng.nextInt(300)}").mkString(" ")
     val in = MemoryStream[graft.model.Schemas.Page]
-    val q = StreamingDedup.nearDupCandidates(spark, in.toDS(), maxBucketUrls = 2)
+    val q = StreamingDedup.nearDupCandidates(spark, in.toDS(), maxBucketUrls = 2,
+      stateTimeout = None)
       .toDF("a", "b")
       .writeStream.format("memory").queryName("near_cap_out")
       .outputMode(OutputMode.Append).start()
