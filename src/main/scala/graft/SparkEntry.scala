@@ -156,6 +156,45 @@ object SparkEntry {
     (prev, curr)
   }
 
+  /** Persisted calibrated-arbiter artifacts per sf dir: the fitted
+    * per-learner calibration params (method/a/b/edges/probs/threshold — the
+    * FIT, golden-verified in CalibrationParitySpec) and the CalVerdict
+    * output (raw scores + probs + decisions). The DuckDB oracle recomputes
+    * the APPLY step (K4: bin interpolation / platt sigmoid / clamp) and the
+    * full vote/gray-zone/escalation decision logic (A3-A6) from the raw
+    * scores + fitted params; only the raw-score hash chains (SimHash /
+    * shingle Jaccard / cheap-embedding cosine, golden-verified) stay
+    * identity-read.
+    */
+  def calibVerdictDirs(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val rd = pipelineRunDir(s, dir)
+    val paramsDir = s"$rd/09_calib_params"
+    val cvDir = s"$rd/09_calverdicts"
+    val ch = DedupConfig.balanced.configHash
+    def done(p: String) = new java.io.File(s"$p/_SUCCESS").exists() &&
+      new java.io.File(s"$p/_graft_conf_$ch").exists()
+    if (!done(paramsDir) || !done(cvDir)) {
+      val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
+      val cands = s.read.parquet(s"$rd/05_cand").as[CandPair]
+      val fits = graft.plans.Bootstrap.calibrateWithParams(s, norm, sigs,
+        DedupConfig.balanced, maxPos = 5000, maxNeg = 5000)
+      val byName = fits.map { case (c, p) => c.learner -> p }.toMap
+      val params = graft.plans.CalibratedDedup.LearnerParams(
+        byName("simhash"), byName("minhash"), byName("embedding"))
+      fits.map { case (c, p) =>
+        (c.learner, p.method, p.a, p.b, p.edges.toSeq, p.probs.toSeq, p.threshold)
+      }.toDF("learner", "method", "a", "b", "edges", "probs", "threshold")
+        .coalesce(1).write.mode("overwrite").parquet(paramsDir)
+      graft.plans.CalibratedDedup.verify(s, cands, sigs, norm, DedupConfig.balanced, params)
+        .toDF().coalesce(1).write.mode("overwrite").parquet(cvDir)
+      Seq(paramsDir, cvDir).foreach(p => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$p/_graft_conf_$ch"), ch))
+    }
+    (paramsDir, cvDir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- SQL-oracled over the sf tables ----------
     "q_lang_hist" -> ((s, dir) => {
@@ -462,6 +501,32 @@ object SparkEntry {
         .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("overlap"))
         .orderBy("a", "b")
     }),
+    "q_top_examples" -> ((s, dir) => {
+      // M9: top-k duplicate examples by score with deterministic tiebreak
+      // (metrics.py:514-540); DuckDB recomputes the ORDER BY ... LIMIT.
+      val v = s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
+      graft.metrics.Metrics.topExamples(v, "jaccard", "DUPLICATE", 50)
+        .select(col("pair_key"), col("jaccard"), col("sim_sim"), col("dup_kind"))
+    }),
+    "q_run_report" -> ((s, dir) => {
+      // S13 + M11 driver surface: render report.html (S13 executes under
+      // the driver run), then read back the metrics.json snapshot. The
+      // DuckDB oracle RECOMPUTES every numeric field from the verdicts /
+      // clusters stage parquet — a broken snapshot assembly or a stale
+      // metrics.json mismatches. `report_ok` is a smoke flag for the HTML
+      // artifact (content parity lives in ReportSpec).
+      val rd = pipelineRunDir(s, dir)
+      val reportPath = graft.tools.Report.write(s, rd)
+      val html = java.nio.file.Files.readString(java.nio.file.Paths.get(reportPath))
+      val ok = html.contains("<h2>Summary</h2>") && html.contains("</html>")
+      s.read.json(s"$rd/metrics.json")
+        .select(col("total_pairs").cast("long"), col("duplicates").cast("long"),
+          col("non_duplicates").cast("long"), col("uncertain").cast("long"),
+          col("exact_dups").cast("long"), col("near_dups").cast("long"),
+          col("consensus_rate").cast("double"),
+          col("clusters").cast("long"), col("clustered_docs").cast("long"))
+        .withColumn("report_ok", lit(ok))
+    }),
     "q_drift_compare" -> ((s, dir) => {
       // M12 calibration drift (metrics.py:136-156) between two persisted
       // snapshots; DuckDB recomputes the join + deltas from the same parquet
@@ -499,18 +564,15 @@ object SparkEntry {
     }),
     "q_calibrated_verdicts" -> ((s, dir) => {
       // K1-K6 + A6: bootstrap calibration feeding the calibrated arbiter
-      // with gray-zone escalation
-      import s.implicits._
-      val rd = pipelineRunDir(s, dir)
-      val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
-      val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
-      val cands = s.read.parquet(s"$rd/05_cand").as[CandPair]
-      val params = graft.plans.Bootstrap.learnerParams(s, norm, sigs, DedupConfig.balanced,
-        maxPos = 5000, maxNeg = 5000)
-      graft.plans.CalibratedDedup.verify(s, cands, sigs, norm, DedupConfig.balanced, params)
-        .toDF()
-        .select(col("pair_key"), col("final_label"), col("reason"),
+      // with gray-zone escalation. The DuckDB oracle recomputes the apply
+      // step + decision logic from the persisted raw scores and fitted
+      // params (calibVerdictDirs Scaladoc).
+      val (_, cvDir) = calibVerdictDirs(s, dir)
+      s.read.parquet(cvDir)
+        .select(col("pair_key"), col("exact"), col("sim_raw"), col("min_raw"),
+          col("emb_raw"), col("min_raw_k2"),
           col("sim_prob"), col("min_prob"), col("emb_prob"),
+          col("final_label"), col("dup_kind"), col("reason"),
           concat_ws(",", col("escalation_steps")).as("steps"))
         .orderBy("pair_key")
     }),
@@ -565,6 +627,12 @@ object SparkEntry {
     s"read_parquet('${runDirFor(dir)}/05_cand/*.parquet')"
   private def normPq(dir: String) =
     s"read_parquet('${runDirFor(dir)}/01_norm/*.parquet')"
+  private def bandsPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/04_bands/*.parquet')"
+  private def sigPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/03_sig/*.parquet')"
+  private def repsPq(dir: String) =
+    s"read_parquet('${runDirFor(dir)}/02_reps/*.parquet')"
   private def pagesPq(dir: String) =
     s"read_parquet('/tmp/graft_pages_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*.parquet')"
 
@@ -614,6 +682,85 @@ object SparkEntry {
       s"scored AS (SELECT a, b, CASE WHEN ${nrm("va")} = 0 OR ${nrm("vb")} = 0 THEN 0.0 " +
       s"ELSE (${dot("va", "vb")}) / (${nrm("va")} * ${nrm("vb")}) END AS cosine FROM pairs) " +
       "SELECT a, b, cosine FROM scored WHERE cosine >= 0.45 ORDER BY a, b"
+  }
+
+  /** DuckDB mirror of Calibration.applyParams + decide()'s 1-1e-9 clamp,
+    * over a params row joined in with column prefix `p` (`p_method`,
+    * `p_a`, `p_b`, `p_edges`, `p_probs`). The isotonic branch is
+    * searchsorted + linear bin interpolation in the SAME IEEE operation
+    * order as the Scala (bit-exact); the platt branch mirrors the [-60,60]
+    * z-clamp + sigmoid.
+    */
+  private def applyCalSql(s: String, p: String): String = {
+    val n = s"len(${p}_probs)"
+    val i = s"least($n - 1, greatest(0, len(list_filter(${p}_edges, e -> e <= $s)) - 1))"
+    val left = s"${p}_edges[($i) + 1]"
+    val right = s"${p}_edges[($i) + 2]"
+    val t = s"(($s - $left) / ($right - $left))"
+    val binned = s"(CASE WHEN $right > $left THEN (1.0::DOUBLE - $t) * ${p}_probs[($i) + 1] + " +
+      s"$t * ${p}_probs[least(($i) + 1, $n - 1) + 1] ELSE ${p}_probs[($i) + 1] END)"
+    val z = s"greatest(-60.0::DOUBLE, least(60.0::DOUBLE, ${p}_a * $s + ${p}_b))"
+    val platt = s"(1.0::DOUBLE / (1.0::DOUBLE + exp(-($z))))"
+    s"least(CASE WHEN ${p}_method = 'platt' THEN $platt " +
+      s"WHEN len(${p}_edges) > 0 AND len(${p}_probs) > 0 THEN $binned " +
+      s"ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE, $s)) END, 1.0::DOUBLE - 1e-9)"
+  }
+
+  /** DuckDB recompute of the calibrated arbiter's APPLY + decision path
+    * (CalibratedDedup.decide): per-learner calibrated probs from the
+    * persisted fit params, votes with the embedding backstop, clearly-below
+    * and gray-zone tests, and the escalation rescore on the persisted k=2
+    * raw score. Identity-read columns: the raw scores only (hash chains).
+    * The cosine is recovered from the persisted unit score (cos = 2u - 1,
+    * the exact inverse of cosToUnit up to one ulp — used only in the
+    * >= 0.988 backstop comparison).
+    */
+  private def calibVerdictsOracle(dir: String): String = {
+    val simP = applyCalSql("sim_raw", "ps")
+    val minP = applyCalSql("min_raw", "pm")
+    val embP = applyCalSql("emb_raw", "pe")
+    val minP2 = applyCalSql("min_raw_k2", "pm")
+    s"WITH cv AS (SELECT * FROM read_parquet('${runDirFor(dir)}/09_calverdicts/*.parquet')), " +
+      s"prm AS (SELECT * FROM read_parquet('${runDirFor(dir)}/09_calib_params/*.parquet')), " +
+      "wide AS (SELECT cv.pair_key, cv.exact, cv.sim_raw, cv.min_raw, cv.emb_raw, cv.min_raw_k2, " +
+      "ps.method AS ps_method, ps.a AS ps_a, ps.b AS ps_b, ps.edges AS ps_edges, ps.probs AS ps_probs, ps.threshold AS ps_thr, " +
+      "pm.method AS pm_method, pm.a AS pm_a, pm.b AS pm_b, pm.edges AS pm_edges, pm.probs AS pm_probs, pm.threshold AS pm_thr, " +
+      "pe.method AS pe_method, pe.a AS pe_a, pe.b AS pe_b, pe.edges AS pe_edges, pe.probs AS pe_probs, pe.threshold AS pe_thr " +
+      "FROM cv, prm ps, prm pm, prm pe " +
+      "WHERE ps.learner = 'simhash' AND pm.learner = 'minhash' AND pe.learner = 'embedding'), " +
+      "pr AS (SELECT pair_key, exact, sim_raw, min_raw, emb_raw, min_raw_k2, ps_thr, pm_thr, pe_thr, " +
+      s"$simP AS sim_p, $minP AS min_p, " +
+      s"CASE WHEN exact THEN NULL ELSE $embP END AS emb_p, " +
+      s"CASE WHEN min_raw_k2 IS NOT NULL THEN $minP2 ELSE NULL END AS min_p2, " +
+      "CASE WHEN exact THEN NULL ELSE (emb_raw * 2.0::DOUBLE) - 1.0::DOUBLE END AS cos " +
+      "FROM wide), " +
+      "d AS (SELECT *, " +
+      "(CASE WHEN sim_p >= ps_thr THEN 1 ELSE 0 END) + (CASE WHEN min_p >= pm_thr THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN cos >= 0.988::DOUBLE OR emb_p >= pe_thr THEN 1 ELSE 0 END) AS v0, " +
+      "(sim_p < ps_thr - 0.05::DOUBLE AND min_p < pm_thr - 0.05::DOUBLE AND emb_p < pe_thr - 0.05::DOUBLE) AS below0, " +
+      "(abs(sim_p - ps_thr) <= 0.05::DOUBLE AND abs(min_p - pm_thr) <= 0.05::DOUBLE AND abs(emb_p - pe_thr) <= 0.05::DOUBLE) AS gray0, " +
+      "(CASE WHEN sim_p >= ps_thr THEN 1 ELSE 0 END) + (CASE WHEN min_p2 >= pm_thr THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN cos >= 0.988::DOUBLE OR emb_p >= pe_thr THEN 1 ELSE 0 END) AS v2, " +
+      "(sim_p < ps_thr - 0.05::DOUBLE AND min_p2 < pm_thr - 0.05::DOUBLE AND emb_p < pe_thr - 0.05::DOUBLE) AS below2 " +
+      "FROM pr) " +
+      "SELECT pair_key, exact, sim_raw, min_raw, emb_raw, min_raw_k2, " +
+      "CASE WHEN exact THEN 1.0::DOUBLE ELSE sim_p END AS sim_prob, " +
+      "CASE WHEN exact THEN 1.0::DOUBLE WHEN v0 >= 2 THEN min_p WHEN below0 THEN min_p " +
+      "WHEN NOT gray0 THEN min_p ELSE min_p2 END AS min_prob, " +
+      "CASE WHEN exact THEN 1.0::DOUBLE ELSE emb_p END AS emb_prob, " +
+      "CASE WHEN exact THEN 'DUPLICATE' WHEN v0 >= 2 THEN 'DUPLICATE' WHEN below0 THEN 'NON_DUPLICATE' " +
+      "WHEN NOT gray0 THEN 'NON_DUPLICATE' WHEN v2 >= 2 THEN 'DUPLICATE' WHEN below2 THEN 'NON_DUPLICATE' " +
+      "ELSE 'UNCERTAIN' END AS final_label, " +
+      "CASE WHEN exact THEN 'EXACT' WHEN v0 >= 2 THEN 'NEAR' WHEN below0 OR NOT gray0 THEN NULL " +
+      "WHEN v2 >= 2 THEN 'NEAR' ELSE NULL END AS dup_kind, " +
+      "CASE WHEN exact THEN 'exact_content_match' WHEN v0 >= 2 THEN 'duplicate_by_consensus' " +
+      "WHEN below0 THEN 'below_thresholds' WHEN NOT gray0 THEN 'confident_non_duplicate' " +
+      "WHEN v2 >= 2 THEN 'consensus_after_escalation' WHEN below2 THEN 'below_thresholds_after_escalation' " +
+      "ELSE 'uncertain_in_gray_zone' END AS reason, " +
+      "CASE WHEN exact OR v0 >= 2 OR below0 OR NOT gray0 THEN '' " +
+      "WHEN v2 >= 2 OR below2 THEN 'normalize_strict,minhash_alt_shingle' " +
+      "ELSE 'normalize_strict,minhash_alt_shingle,embed_whiten' END AS steps " +
+      "FROM d ORDER BY pair_key"
   }
 
   /** Oracle SQL parameterized by the sf dir — Verify dumps
@@ -762,14 +909,72 @@ object SparkEntry {
         "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
     "q_embed_near_dup" -> embedNearDupOracle,
+    "q_calibrated_verdicts" -> calibVerdictsOracle(dir),
     // ---------- pipeline/metrics recomputed over stage parquet ----------
+    // Candidate generation recomputed INDEPENDENTLY from the banding-stage
+    // parquet: bucket-size guard (2 <= size <= maxBucketSize), bucket
+    // self-join, distinct (a < b), per-doc cap via row_number — the DuckDB
+    // mirror of DedupPipeline.candidateStage over 04_bands. The bands
+    // themselves are a hash chain (xxh64 over minhash slices) verified by
+    // golden parity specs.
     "q_lsh_candidates" ->
-      s"SELECT a, b FROM ${candPq(dir)} ORDER BY a, b",
+      (s"WITH bands AS (SELECT band, bucket, url FROM ${bandsPq(dir)}), " +
+        "ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket " +
+        "HAVING count(*) >= 2 AND count(*) <= 2000), " +
+        "bx AS (SELECT b.band, b.bucket, b.url FROM bands b JOIN ok o ON b.band = o.band AND b.bucket = o.bucket), " +
+        "pairs AS (SELECT DISTINCT l.url AS a, r.url AS b FROM bx l JOIN bx r " +
+        "ON l.band = r.band AND l.bucket = r.bucket AND l.url < r.url), " +
+        "capped AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs) " +
+        "SELECT a, b FROM capped WHERE rn <= 2000 ORDER BY a, b"),
+    // Verdicts recomputed from the signature stage: exact = exact-hash
+    // equality, jaccard = |A∩B|/|A∪B| over the persisted hashed shingle
+    // sets (list_intersect), hamming = bit_count(xor(...)), and the full
+    // vote/consensus/label logic (A3-A5) as CASE expressions. The ONE
+    // column taken from the verdicts parquet is emb_cos — the deterministic
+    // cheap-embedding cosine (a hash chain DuckDB cannot recompute; golden-
+    // verified in CheapEmbed specs); every decision derived FROM it is
+    // recomputed here.
     "q_dedup_verdicts" ->
-      (s"SELECT pair_key, exact, jaccard, hamming, sim_sim, votes, final_label, dup_kind " +
-        s"FROM ${verdictsPq(dir)} ORDER BY pair_key"),
+      (s"WITH c AS (SELECT a, b FROM ${candPq(dir)}), " +
+        s"sig AS (SELECT url, exact_hash, shingles, simhash_hi, simhash_lo FROM ${sigPq(dir)}), " +
+        "j AS (SELECT c.a, c.b, (x.exact_hash = y.exact_hash) AS exact, " +
+        "CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS i, " +
+        "CAST(len(x.shingles) + len(y.shingles) AS BIGINT) AS nab, " +
+        "CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INTEGER) AS hamming " +
+        "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b), " +
+        "s AS (SELECT a, b, exact, " +
+        "CASE WHEN nab - i = 0 THEN 0.0::DOUBLE ELSE CAST(i AS DOUBLE) / CAST(nab - i AS DOUBLE) END AS jaccard, " +
+        "hamming, greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / 128.0::DOUBLE) AS sim_sim FROM j), " +
+        s"e AS (SELECT a, b, emb_cos FROM ${verdictsPq(dir)}), " +
+        "v AS (SELECT s.a, s.b, s.exact, s.jaccard, s.hamming, s.sim_sim, " +
+        "COALESCE(e.emb_cos >= 0.988::DOUBLE OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= 0.988::DOUBLE, false) AS vote_emb " +
+        "FROM s LEFT JOIN e ON e.a = s.a AND e.b = s.b), " +
+        "w AS (SELECT *, CAST(CASE WHEN exact THEN 3 ELSE " +
+        "(CASE WHEN sim_sim >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN jaccard >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN vote_emb THEN 1 ELSE 0 END) END AS INTEGER) AS votes FROM v) " +
+        "SELECT CASE WHEN a <= b THEN a || '||' || b ELSE b || '||' || a END AS pair_key, " +
+        "exact, jaccard, hamming, sim_sim, votes, " +
+        "CASE WHEN exact OR votes >= 2 THEN 'DUPLICATE' ELSE 'NON_DUPLICATE' END AS final_label, " +
+        "CASE WHEN exact THEN 'EXACT' WHEN votes >= 2 THEN 'NEAR' ELSE NULL END AS dup_kind " +
+        "FROM w ORDER BY pair_key"),
+    // Clusters recomputed end-to-end: connected components over the
+    // DUPLICATE edges via a recursive CTE (min reachable url = the same
+    // min-label fixed point as ConnectedComponents.run), exact-group
+    // members attached through the 02_reps map, sizes + >=2 filter — the
+    // full clusterStage recomputed independently in SQL.
     "q_dedup_clusters" ->
-      s"SELECT url, cluster_id, cluster_size FROM ${clustersPq(dir)} ORDER BY cluster_id, url",
+      (s"WITH RECURSIVE dup AS (SELECT a, b FROM ${verdictsPq(dir)} WHERE final_label = 'DUPLICATE'), " +
+        "sym AS (SELECT a AS u, b AS v FROM dup UNION SELECT b, a FROM dup), " +
+        "reach(u, c) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) " +
+        "UNION SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u), " +
+        "comp AS (SELECT u, min(c) AS comp FROM reach GROUP BY u), " +
+        s"assigned AS (SELECT r.url, COALESCE(cp.comp, r.rep) AS cluster_id FROM ${repsPq(dir)} r " +
+        "LEFT JOIN comp cp ON cp.u = r.rep), " +
+        "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id) " +
+        "SELECT a.url, a.cluster_id, s.cluster_size FROM assigned a " +
+        "JOIN sizes s ON s.cluster_id = a.cluster_id " +
+        "WHERE s.cluster_size >= 2 ORDER BY a.cluster_id, a.url"),
     "q_cluster_summary" ->
       (s"SELECT cluster_id, count(*) AS cluster_size FROM ${clustersPq(dir)} " +
         "GROUP BY cluster_id ORDER BY cluster_size DESC, cluster_id ASC"),
@@ -826,6 +1031,21 @@ object SparkEntry {
         "SELECT c.a, c.b, CAST(sum(least(ta.cnt, tb.cnt)) AS BIGINT) AS overlap " +
         "FROM c JOIN toks ta ON ta.url = c.a JOIN toks tb ON tb.url = c.b AND tb.token = ta.token " +
         "GROUP BY c.a, c.b ORDER BY a, b"),
+    "q_top_examples" ->
+      (s"SELECT pair_key, jaccard, sim_sim, dup_kind FROM ${verdictsPq(dir)} " +
+        "WHERE final_label = 'DUPLICATE' ORDER BY jaccard DESC, pair_key LIMIT 50"),
+    "q_run_report" ->
+      (s"WITH v AS (SELECT count(*) AS total_pairs, " +
+        "CAST(sum(CASE WHEN final_label = 'DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS duplicates, " +
+        "CAST(sum(CASE WHEN final_label = 'NON_DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS non_duplicates, " +
+        "CAST(sum(CASE WHEN final_label = 'UNCERTAIN' THEN 1 ELSE 0 END) AS BIGINT) AS uncertain, " +
+        "CAST(sum(CASE WHEN dup_kind = 'EXACT' THEN 1 ELSE 0 END) AS BIGINT) AS exact_dups, " +
+        "CAST(sum(CASE WHEN dup_kind = 'NEAR' THEN 1 ELSE 0 END) AS BIGINT) AS near_dups, " +
+        "CAST(sum(CASE WHEN final_label <> 'UNCERTAIN' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS consensus_rate " +
+        s"FROM ${verdictsPq(dir)}), " +
+        "c AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS clusters, " +
+        s"count(*) AS clustered_docs FROM ${clustersPq(dir)}) " +
+        "SELECT v.*, c.*, true AS report_ok FROM v, c"),
     "q_drift_compare" ->
       (s"SELECT COALESCE(p.learner, c.learner) AS learner, " +
         "p.threshold AS threshold_prev, c.threshold AS threshold_curr, c.threshold - p.threshold AS threshold_delta, " +
