@@ -268,36 +268,31 @@ object SparkEntry {
       // (128 perms, 32 bands x 4 rows => P(miss | J=0.8) ~ 5e-8) replaces
       // the per-group cross product; exact Jaccard only on bucket-mates.
       // Global (not per-source), oracled against the full quadratic in
-      // DuckDB — equality IS the recall check.
+      // DuckDB — equality IS the recall check. The mega-bucket guard's
+      // 4096 cap cannot bind at the 500-doc correctness tier (a bucket
+      // holds at most the corpus), so equality with the unguarded
+      // quadratic oracle is preserved; the guard's drop behavior is
+      // exercised by TokenLshSpec's planted degenerate bucket.
       import s.implicits._
-      val numPerm = 128; val bands = 32; val r = 4
       val t = docs(s, dir).select(col("doc_id"),
         array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
-      val sigs = t.as[(Long, Seq[String])].mapPartitions { it =>
-        val (as, bs) = graft.sig.MinHashSig.permutations(numPerm, 913L)
-        it.map { case (id, toks) =>
-          val hs = toks.iterator.map(tk => graft.hash.XXH64.hashString(tk, 0x70C5L))
-            .toArray.distinct.sorted
-          (id, graft.sig.MinHashSig.signature(hs, as, bs))
-        }
-      }
-      val bandRows = sigs.flatMap { case (id, mh) =>
-        (0 until bands).iterator.map(bd =>
-          (bd, graft.hash.XXH64.hashLongs(mh, bd * r, bd * r + r, bd.toLong), id))
-      }.toDF("band", "bucket", "id")
-      val l = bandRows.select(col("band"), col("bucket"), col("id").as("a"))
-      val rr = bandRows.select(col("band").as("band2"), col("bucket").as("bucket2"), col("id").as("b"))
-      val pairs = l.join(rr, col("band") === col("band2") &&
-          col("bucket") === col("bucket2") && col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      val ta = t.select(col("doc_id").as("pa"), col("toks").as("ta"))
-      val tb = t.select(col("doc_id").as("pb"), col("toks").as("tb"))
-      pairs.join(ta, col("a") === col("pa")).join(tb, col("b") === col("pb"))
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-        .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("double") - col("inter"))
-        .withColumn("jaccard", col("inter") / col("uni"))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a"), col("b"), col("jaccard"))
+      graft.text.TokenLsh.jaccardPairs(s, t.as[(Long, Seq[String])], threshold = 0.8)
+        .orderBy("a", "b")
+    }),
+    "q_ngram_jaccard_lsh" -> ((s, dir) => {
+      // n-gram Jaccard near-dup (word 3-gram shingle sets) with the same
+      // LSH blocking — the timed bench representative for the LSH-jaccard
+      // operator family: shingle sets discriminate where the synthetic
+      // corpus's small-vocab token SETS degenerate into mega-buckets
+      // (Bench.benchNames note). Oracled against the full quadratic.
+      import s.implicits._
+      val t = docs(s, dir).select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      val sh = t.select(col("doc_id"), expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END").as("sh"))
+      graft.text.TokenLsh.jaccardPairs(s, sh.as[(Long, Seq[String])], threshold = 0.8)
         .orderBy("a", "b")
     }),
     "q_ann_topk" -> ((s, dir) => {
@@ -676,9 +671,15 @@ object SparkEntry {
     val bandedSelects = (0 until bands).map(b =>
       s"SELECT vec_id AS id, embedding AS vec, $b AS band, ${bucketExpr(b, "embedding")} AS bucket FROM embeddings")
       .mkString(" UNION ALL ")
+    // the bucket-size guard (2 <= size <= 4096) mirrors Ann.lshCandidates'
+    // mega-bucket guard so the guard semantics are oracle-verified too
     s"WITH banded AS ($bandedSelects), " +
+      "ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket " +
+      "HAVING count(*) >= 2 AND count(*) <= 4096), " +
+      "bx AS (SELECT b.id, b.vec, b.band, b.bucket FROM banded b " +
+      "JOIN ok o ON b.band = o.band AND b.bucket = o.bucket), " +
       "pairs AS (SELECT DISTINCT l.id AS a, r.id AS b, l.vec AS va, r.vec AS vb " +
-      "FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id), " +
+      "FROM bx l JOIN bx r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id), " +
       s"scored AS (SELECT a, b, CASE WHEN ${nrm("va")} = 0 OR ${nrm("vb")} = 0 THEN 0.0 " +
       s"ELSE (${dot("va", "vb")}) / (${nrm("va")} * ${nrm("vb")}) END AS cosine FROM pairs) " +
       "SELECT a, b, cosine FROM scored WHERE cosine >= 0.45 ORDER BY a, b"
@@ -813,6 +814,20 @@ object SparkEntry {
         "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "(CAST(len(a.toks) + len(b.toks) AS DOUBLE) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8 " +
+        "ORDER BY a, b"),
+    // full quadratic over word 3-gram shingle sets — equality is the
+    // recall-1.0 statement for the LSH-blocked n-gram operator
+    "q_ngram_jaccard_lsh" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+        "ELSE []::VARCHAR[] END AS sh FROM t) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= 0.8 " +
         "ORDER BY a, b"),
     "q_ingest_dedup" ->
       (s"WITH hashed AS (SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM $docsWithVariantsSql), " +

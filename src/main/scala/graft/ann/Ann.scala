@@ -57,17 +57,35 @@ object Ann {
 
   /** Same-bucket candidate pairs under multi-band hyperplane LSH, scored
     * with exact cosine — the scalable near-dup / ANN candidate source.
+    *
+    * Mega-bucket guard: buckets with more than `maxBucketSize` members are
+    * dropped with a logged count (local property
+    * `graft.ann.droppedBuckets`) — a degenerate bucket (all-zero or
+    * boilerplate-identical vectors land in the same bucket in EVERY band)
+    * would otherwise turn the self-join quadratic at corpus scale. Same
+    * policy as the dedup pipeline's candidateStage.
     */
   def lshCandidates(spark: SparkSession, vectors: DataFrame, dim: Int,
                     bands: Int = 4, bitsPerBand: Int = 12,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxBucketSize: Long = 4096L): DataFrame = {
     import spark.implicits._
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = (0 until bands).map { b =>
       base.withColumn("band", lit(b)).withColumn("bucket", hyperplaneSql(dim, bitsPerBand, b, "vec"))
     }.reduce(_ union _)
-    val l = banded.select($"band", $"bucket", $"id".as("a"), $"vec".as("va"))
-    val r = banded.select($"band".as("band2"), $"bucket".as("bucket2"), $"id".as("b"), $"vec".as("vb"))
+    val sizes = banded.groupBy($"band", $"bucket").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = sizes.filter($"count" > maxBucketSize).count()
+    if (dropped > 0)
+      System.err.println(s"[graft.ann] dropped $dropped mega-buckets (> $maxBucketSize members)")
+    spark.sparkContext.setLocalProperty("graft.ann.droppedBuckets", dropped.toString)
+    val ok = sizes.filter($"count" >= 2 && $"count" <= maxBucketSize)
+      .select($"band".as("okband"), $"bucket".as("okbucket"))
+    val bx = banded.join(ok, $"band" === $"okband" && $"bucket" === $"okbucket")
+      .select($"band", $"bucket", $"id", $"vec")
+    val l = bx.select($"band", $"bucket", $"id".as("a"), $"vec".as("va"))
+    val r = bx.select($"band".as("band2"), $"bucket".as("bucket2"), $"id".as("b"), $"vec".as("vb"))
     l.join(r, $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
       .select($"a", $"b", $"va", $"vb").distinct()
       .withColumn("cosine", cosineExpr("va", "vb"))

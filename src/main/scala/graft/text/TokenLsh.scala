@@ -1,0 +1,80 @@
+package graft.text
+
+import graft.hash.XXH64
+import graft.sig.MinHashSig
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH-blocked exact-Jaccard pairs over per-doc string sets (word
+  * tokens or n-gram shingles) — the scale-safe twin of a per-group cross
+  * product (/root/reference/src/Learners/minhash_model.py:93-102 scores
+  * pairs; the blocking replaces its all-pairs loop).
+  *
+  * Dataflow: per-doc MinHash signature (mapPartitions, shared permutations)
+  * → band explode → bucket-size guard → bucket self-join → distinct pairs →
+  * exact Jaccard on the (distinct) string sets → threshold filter.
+  *
+  * Mega-bucket guard: buckets with more than `maxBucketSize` members are
+  * DROPPED with a logged count (same policy as the dedup pipeline's
+  * candidateStage, DedupPipeline.scala) — a degenerate bucket (corpus-wide
+  * boilerplate token sets, all-equal signatures) would otherwise turn the
+  * self-join quadratic, the single worst skew source at web scale. The
+  * dropped count is exposed via the local property
+  * `graft.tokenLsh.droppedBuckets`.
+  */
+object TokenLsh {
+
+  final val DroppedBucketsProp = "graft.tokenLsh.droppedBuckets"
+
+  /** @param items   (id, tokens) — tokens need not be distinct
+    * @param threshold emit pairs with exact Jaccard >= threshold
+    * @return DataFrame(a, b, jaccard) with a < b
+    */
+  def jaccardPairs(spark: SparkSession, items: Dataset[(Long, Seq[String])],
+                   threshold: Double, numPerm: Int = 128, bands: Int = 32, r: Int = 4,
+                   hashSeed: Long = 0x70C5L, permSeed: Long = 913L,
+                   maxBucketSize: Long = 4096L): DataFrame = {
+    import spark.implicits._
+    val np = numPerm; val ps = permSeed; val hs0 = hashSeed
+    val sigs = items.mapPartitions { it =>
+      val (as, bs) = MinHashSig.permutations(np, ps)
+      it.map { case (id, toks) =>
+        val hs = toks.iterator.map(tk => XXH64.hashString(tk, hs0))
+          .toArray.distinct.sorted
+        (id, MinHashSig.signature(hs, as, bs))
+      }
+    }
+    val bandRows = sigs.flatMap { case (id, mh) =>
+      (0 until bands).iterator.map(bd =>
+        (bd, XXH64.hashLongs(mh, bd * r, bd * r + r, bd.toLong), id))
+    }.toDF("band", "bucket", "id")
+
+    // mega-bucket guard (logged drop count); the >= 2 side also prunes
+    // singleton buckets before the join
+    val sizes = bandRows.groupBy($"band", $"bucket").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = sizes.filter($"count" > maxBucketSize).count()
+    if (dropped > 0)
+      System.err.println(s"[graft.TokenLsh] dropped $dropped mega-buckets (> $maxBucketSize members)")
+    spark.sparkContext.setLocalProperty(DroppedBucketsProp, dropped.toString)
+    val ok = sizes.filter($"count" >= 2 && $"count" <= maxBucketSize)
+      .select($"band".as("okband"), $"bucket".as("okbucket"))
+    val bx = bandRows.join(ok, $"band" === $"okband" && $"bucket" === $"okbucket")
+      .select($"band", $"bucket", $"id")
+
+    val l = bx.select($"band", $"bucket", $"id".as("a"))
+    val rr = bx.select($"band".as("band2"), $"bucket".as("bucket2"), $"id".as("b"))
+    val pairs = l.join(rr, $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
+      .select($"a", $"b").distinct()
+
+    val t = items.toDF("tid", "toks").select($"tid", array_distinct($"toks").as("toks"))
+    val ta = t.select($"tid".as("pa"), $"toks".as("ta"))
+    val tb = t.select($"tid".as("pb"), $"toks".as("tb"))
+    pairs.join(ta, $"a" === $"pa").join(tb, $"b" === $"pb")
+      .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("double"))
+      .withColumn("uni", (size($"ta") + size($"tb")).cast("double") - $"inter")
+      .withColumn("jaccard", $"inter" / $"uni")
+      .filter($"jaccard" >= threshold)
+      .select($"a", $"b", $"jaccard")
+  }
+}
