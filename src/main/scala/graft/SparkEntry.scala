@@ -33,6 +33,17 @@ object SparkEntry {
   private def simpleNormCol(c: org.apache.spark.sql.Column) =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Planted CJK docs for q_lang_id (shared between the Spark query and
+    * the DuckDB oracle, which embeds the same literals): Han / Hiragana+
+    * Katakana / Hangul codepoints from the BMP ranges where the oracle's
+    * regexp character classes and java.lang.Character.UnicodeScript agree.
+    */
+  private[graft] val CjkFixtureDocs: Seq[(Long, String, String)] = Seq(
+    (9000001L, "zh", "这是一个测试文档 其中包含很多汉字 用于语言识别 的 评估"),
+    (9000002L, "ja", "これは テスト 文書 です ひらがな と カタカナ の ドキュメント"),
+    (9000003L, "ko", "이것은 한국어 테스트 문서 입니다 언어 감지 평가"),
+    (9000004L, "en", "the quick test and it was for this with that is in"))
+
   /** Base ∪ deterministic uppercase/whitespace variants — gives the
     * dedup queries real duplicate groups to find, derivable identically in
     * Spark and DuckDB SQL.
@@ -351,7 +362,13 @@ object SparkEntry {
     }),
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      // planted CJK rows exercise the codepoint-ratio branch (the sf corpus
+      // is ASCII — COVERAGE round-2 note); the heuristic labels all CJK
+      // scripts "zh" by design, so lang (claimed) and pred_lang differ for
+      // ja/ko. Ids offset far above the corpus range.
+      val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val planted = CjkFixtureDocs.toDF("doc_id", "lang", "text")
+      base.unionByName(planted).as[(Long, String, String)]
         .map { case (id, lang, t) => (id, lang, TextOps.langId(t)) }
         .toDF("doc_id", "lang", "pred_lang").orderBy("doc_id")
     }),
@@ -860,13 +877,26 @@ object SparkEntry {
         val inList = set.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
         s"len(list_filter(toks, x -> x IN $inList)) AS h_$lang"
       }.mkString(", ")
-      "WITH t AS (SELECT doc_id, lang, text, " +
-        // \p{L} mirrors the Scala side's Unicode letter class (RE2 supports
-        // it); the CJK codepoint-ratio branch remains un-mirrored and is
-        // documented in COVERAGE.md (unexercised by the ASCII sf corpus)
-        "list_transform(regexp_split_to_array(lower(text), '\\s+')[1:500], x -> regexp_replace(x, '[^\\p{L}]', '', 'g')) AS toks FROM documents), " +
-        s"h AS (SELECT doc_id, lang, text, $markerSql FROM t) " +
+      val plantedValues = CjkFixtureDocs
+        .map { case (id, lang, text) => s"($id, '$lang', '$text')" }.mkString(", ")
+      // CJK character class: the BMP ranges (Han unified, Hiragana,
+      // Katakana, Hangul Jamo+syllables) where RE2 ranges and
+      // Character.UnicodeScript agree — the fixture and the ASCII corpus
+      // only contain codepoints inside this agreement set. Scala counts at
+      // most the first 4000 UTF-16 units; equivalent here because CJK
+      // count is 0 for every ASCII doc and the fixtures are short.
+      val cjkClass = "一-鿿ぁ-ゖァ-ヺᄀ-ᇿ가-힣"
+      "WITH src AS (SELECT doc_id, lang, text FROM documents " +
+        s"UNION ALL SELECT * FROM (VALUES $plantedValues) v(doc_id, lang, text)), " +
+        "t AS (SELECT doc_id, lang, text, " +
+        // \p{L} mirrors the Scala side's Unicode letter class (RE2 supports it)
+        "list_transform(regexp_split_to_array(lower(text), '\\s+')[1:500], x -> regexp_replace(x, '[^\\p{L}]', '', 'g')) AS toks, " +
+        s"length(regexp_replace(text, '[^$cjkClass]', '', 'g')) AS cjk_cnt, " +
+        "length(regexp_replace(text, '[\\t\\n\\v\\f\\r\\x1c-\\x1f ]', '', 'g')) AS tot_cnt " +
+        "FROM src), " +
+        s"h AS (SELECT doc_id, lang, text, cjk_cnt, tot_cnt, $markerSql FROM t) " +
         "SELECT doc_id, lang, CASE WHEN text IS NULL OR text = '' THEN 'und' " +
+        "WHEN tot_cnt > 0 AND CAST(cjk_cnt AS DOUBLE) / tot_cnt > 0.25::DOUBLE THEN 'zh' " +
         "WHEN greatest(h_en, h_de, h_fr, h_es) < 2 THEN 'und' " +
         "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' " +
         "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' " +

@@ -175,7 +175,9 @@ object DedupPipeline {
     * near the threshold is exact.
     */
   def verifyStage(spark: SparkSession, cands: Dataset[CandPair], sigs: Dataset[DocSig],
-                  norm: Dataset[DocNorm], conf: DedupConfig): Dataset[Verdict] = {
+                  norm: Dataset[DocNorm], conf: DedupConfig,
+                  embNanos: Option[org.apache.spark.util.LongAccumulator] = None,
+                  spanNanos: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Verdict] = {
     import spark.implicits._
 
     // native Catalyst expression (codegen'd merge over ArrayData, no UDF
@@ -306,12 +308,20 @@ object DedupPipeline {
           e
         }
         it.map { case (a, b, doEmb, doSpan, at, bt) =>
+          // per-learner task-time accumulators: the evidence behind the
+          // span budget (spanMaxPairsPerDoc) — surfaced in metrics.json as
+          // emb/span wall share of the verify stage
+          val t0 = System.nanoTime()
           val cos = if (doEmb) Some(CheapEmbed.cosine(embOf(a, at), embOf(b, bt))) else None
+          val t1 = System.nanoTime()
           val span = if (doSpan)
             SuffixLCS.longestCommonSubstring(
               if (at.length > spanCap) at.substring(0, spanCap) else at,
               if (bt.length > spanCap) bt.substring(0, spanCap) else bt, ws)
           else 0
+          val t2 = System.nanoTime()
+          embNanos.foreach(_.add(t1 - t0))
+          spanNanos.foreach(_.add(t2 - t1))
           (a, b, cos, span)
         }
       }.toDF("ha", "hb", "emb_cos", "shared_span_len")
@@ -452,7 +462,20 @@ object DedupPipeline {
     }
     val cands = candDf.as[CandPair]
 
-    val verdictDf = stage("06_verdicts") { verifyStage(spark, cands, sigs, repNorm, conf).toDF() }
+    val embAcc = spark.sparkContext.longAccumulator("graft.verify.embNanos")
+    val spanAcc = spark.sparkContext.longAccumulator("graft.verify.spanNanos")
+    val verdictDf = stage("06_verdicts") {
+      verifyStage(spark, cands, sigs, repNorm, conf, Some(embAcc), Some(spanAcc)).toDF()
+    }
+    // summed task time of the per-text learners — the evidence behind the
+    // span/embedding budgets. Only set when the stage actually ran: a
+    // resumed 06_verdicts leaves the accumulators at 0 and must not clobber
+    // the measurement a cold run recorded earlier in this session (metrics
+    // snapshots are rewritten on every run() call).
+    if (embAcc.value > 0)
+      spark.sparkContext.setLocalProperty("graft.embWallMs", (embAcc.value / 1000000L).toString)
+    if (spanAcc.value > 0)
+      spark.sparkContext.setLocalProperty("graft.spanWallMs", (spanAcc.value / 1000000L).toString)
 
     val clusters = stage("07_clusters") {
       clusterStage(spark, verdictDf.as[Verdict], repsDf)
@@ -500,6 +523,13 @@ object DedupPipeline {
         .map(r => s"""{"stage":"${r.getString(0)}","wall_ms":${r.getLong(1)},"rows":${r.getLong(2)}}""")
         .mkString("[", ",", "]")
     val dropped = Option(spark.sparkContext.getLocalProperty("graft.droppedBuckets")).getOrElse("0")
+    // per-text learner evidence: pair counts from the persisted verdicts,
+    // summed task wall from the verify accumulators (0 when 06_verdicts was
+    // resumed — the stage didn't run, so there is no wall to report)
+    val embPairs = verdicts.filter($"emb_cos".isNotNull).count()
+    val spanPairs = verdicts.filter($"shared_span_len" > 0).count()
+    val embMs = Option(spark.sparkContext.getLocalProperty("graft.embWallMs")).getOrElse("0")
+    val spanMs = Option(spark.sparkContext.getLocalProperty("graft.spanWallMs")).getOrElse("0")
     val json =
       s"""{"run_id":"$runId","config_hash":"$confHash",
          |"total_pairs":${summary.getLong(0)},"duplicates":${summary.getLong(1)},
@@ -508,6 +538,8 @@ object DedupPipeline {
          |"consensus_rate":${summary.getDouble(6)},
          |"clusters":$nClusters,"clustered_docs":$clustered,
          |"dropped_mega_buckets":$dropped,
+         |"emb_pairs":$embPairs,"span_pairs":$spanPairs,
+         |"emb_wall_ms":$embMs,"span_wall_ms":$spanMs,
          |"stages":$lineage}""".stripMargin.replace("\n", "")
     val f = fs(spark, runDir)
     val out = f.create(new Path(runDir, "metrics.json"), true)

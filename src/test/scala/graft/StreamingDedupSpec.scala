@@ -112,6 +112,42 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates are a superset of the batch pipeline's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same config, same signatures => same LSH buckets: every batch
+    // candidate pair must also be emitted by the stream (at-least-once
+    // semantics; the stream additionally pairs exact-dup members the batch
+    // path routes through the rep map instead)
+    val (pages, _) = graft.pages.PagesSource.syntheticCorpus(spark, nFamilies = 30, membersPerFamily = 4)
+    val pageList = pages.collect().toSeq
+    val conf = graft.DedupConfig.balanced
+    val norm = graft.plans.DedupPipeline.normalizeStage(spark, pages)
+    val sigs = graft.plans.DedupPipeline.signatureStage(spark, norm, conf)
+    val bands = graft.plans.DedupPipeline.bandingStage(spark, sigs, conf)
+    val (cands, _) = graft.plans.DedupPipeline.candidateStage(spark, bands, conf)
+    val batchPairs = cands.as[(String, String)].collect().toSet
+
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.nearDupCandidates(spark, in.toDS(),
+        maxBucketUrls = 4096, stateTimeout = None)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("near_superset_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      pageList.grouped(40).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val streamPairs = spark.sql("SELECT a, b FROM near_superset_out")
+        .as[(String, String)].collect().toSet
+      val missing = batchPairs -- streamPairs
+      assert(batchPairs.nonEmpty, "batch produced no candidate pairs — test corpus too sparse")
+      assert(missing.isEmpty,
+        s"${missing.size} of ${batchPairs.size} batch pairs missing from the stream: ${missing.take(5)}")
+    } finally q.stop()
+  }
+
   test("windowedLangHistogram aggregates per (window, lang) under a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
