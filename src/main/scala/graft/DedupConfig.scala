@@ -40,6 +40,11 @@ final case class DedupConfig(
     spanMaxPairsPerDoc: Int = 20,    // SA budget per doc (deterministic cap)
     spanMaxTextChars: Int = 8000,    // per-doc char cap for the SA build
     spanAsDuplicate: Boolean = false, // OFF = label parity with the reference
+    // Linear-time span algorithm: suffix automaton of the shorter text
+    // (exact same LCS, property-tested vs the suffix array). The SA pass
+    // measured ~85% of verify CPU at the 150k-page bench scale; false
+    // selects the generalized-suffix-array reference implementation.
+    spanViaAutomaton: Boolean = true,
     // ---- verify-stage MinHash-estimate prefilter (scale knob) ----
     // When enabled, pairs whose signature-equality estimate falls outside
     // (low, high) skip the exact-Jaccard shingle join: at 64 perms the

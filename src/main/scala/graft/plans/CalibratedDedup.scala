@@ -37,23 +37,13 @@ object CalibratedDedup {
                               final_label: String, dup_kind: Option[String], reason: String,
                               escalation_steps: Seq[String])
 
-  /** Pure decision given all scores (mirrors score_pair step order).
-    * `minRawK2` is consulted only when the pair lands in the gray zone.
+  /** Calibrated probabilities + the pre-escalation tests for one pair —
+    * shared by decide() and needsEscalation() so the distributed two-phase
+    * dataflow (verify) cannot drift from the reference step order.
     */
-  def decide(conf: DedupConfig, p: LearnerParams,
-             exact: Boolean, simRaw: Double, minRaw: Double, embCos: => Double,
-             minRawK2: => Double): (String, Option[String], String, Seq[String],
-    Double, Double, Option[Double], Option[Double]) = {
-    val clamp = (x: Double) => math.min(x, 1.0 - 1e-9)
-    if (exact)
-      return ("DUPLICATE", Some("EXACT"), "exact_content_match", Nil, 1.0, 1.0, Some(1.0), None)
-
-    val simProb = clamp(Calibration.applyParams(simRaw, p.sim))
-    val minProb = clamp(Calibration.applyParams(minRaw, p.min))
-    lazy val cos = embCos
-    lazy val embRawScore = CheapEmbed.cosToUnit(cos)
-    lazy val embProb = clamp(Calibration.applyParams(embRawScore, p.emb))
-
+  private[plans] final case class ProbState(conf: DedupConfig, p: LearnerParams,
+                                            simProb: Double, minProb: Double,
+                                            cos: Double, embProb: Double) {
     def votes(mp: Double): Int = {
       var v = 0
       if (simProb >= p.sim.threshold) v += 1
@@ -70,6 +60,46 @@ object CalibratedDedup {
       math.abs(simProb - p.sim.threshold) <= 0.05 &&
         math.abs(mp - p.min.threshold) <= 0.05 &&
         math.abs(embProb - p.emb.threshold) <= 0.05
+  }
+
+  private val clamp = (x: Double) => math.min(x, 1.0 - 1e-9)
+
+  private[plans] def probState(conf: DedupConfig, p: LearnerParams,
+                               simRaw: Double, minRaw: Double, cos: Double): ProbState =
+    ProbState(conf, p,
+      clamp(Calibration.applyParams(simRaw, p.sim)),
+      clamp(Calibration.applyParams(minRaw, p.min)),
+      cos,
+      clamp(Calibration.applyParams(CheapEmbed.cosToUnit(cos), p.emb)))
+
+  /** True iff decide() would enter the escalation loop (and therefore
+    * force the k=2 rescore) for this pair — mirrors the exits of
+    * decide()'s pre-escalation chain exactly (same ProbState math).
+    */
+  def needsEscalation(conf: DedupConfig, p: LearnerParams,
+                      simRaw: Double, minRaw: Double, cos: Double): Boolean = {
+    val st = probState(conf, p, simRaw, minRaw, cos)
+    val v0 = st.votes(st.minProb)
+    v0 < conf.requiredVotes && !st.allClearlyBelow(st.minProb) && st.inGray(st.minProb)
+  }
+
+  /** Pure decision given all scores (mirrors score_pair step order).
+    * `minRawK2` is consulted only when the pair lands in the gray zone.
+    */
+  def decide(conf: DedupConfig, p: LearnerParams,
+             exact: Boolean, simRaw: Double, minRaw: Double, embCos: => Double,
+             minRawK2: => Double): (String, Option[String], String, Seq[String],
+    Double, Double, Option[Double], Option[Double]) = {
+    if (exact)
+      return ("DUPLICATE", Some("EXACT"), "exact_content_match", Nil, 1.0, 1.0, Some(1.0), None)
+
+    val st = probState(conf, p, simRaw, minRaw, embCos)
+    val simProb = st.simProb
+    val minProb = st.minProb
+    val embProb = st.embProb
+    def votes(mp: Double): Int = st.votes(mp)
+    def allClearlyBelow(mp: Double): Boolean = st.allClearlyBelow(mp)
+    def inGray(mp: Double): Boolean = st.inGray(mp)
 
     val need = conf.requiredVotes
     val v0 = votes(minProb)
@@ -121,64 +151,98 @@ object CalibratedDedup {
     out.distinct.sorted
   }
 
-  /** Distributed calibrated verify over candidate pairs. Gray-zone pairs
-    * get the k=2 MinHash variant via a filtered recompute of just their
-    * docs (never the corpus).
+  /** Distributed calibrated verify over candidate pairs, in two phases:
+    *
+    *  1. Per-doc cheap embeddings are computed ONCE (O(docs), a
+    *     mapPartitions over the corpus) and join into the pair relation as
+    *     fixed-width 384-float vectors — the pair join never ships the
+    *     size-unbounded `norm_text` payload and never re-embeds a doc per
+    *     pair (in calibrated mode the embedding learner votes on EVERY
+    *     pair, so at web scale the text-heavy pair join was the bottleneck
+    *     — round-2 scale note).
+    *  2. Only the gray-zone subset (needsEscalation — exactly the pairs
+    *     whose decide() forces the k=2 rescore) joins back to `norm_text`
+    *     to compute the escalation MinHash variant; that subset is small
+    *     by construction (± 0.05 band around every threshold).
     */
   def verify(spark: SparkSession, cands: Dataset[CandPair], sigs: Dataset[DocSig],
              norm: Dataset[DocNorm], conf: DedupConfig, params: LearnerParams): Dataset[CalVerdict] = {
     import spark.implicits._
 
+    val c = conf
+    val p = params
+    val dim = conf.embedDim
+
+    // phase 0: per-doc embeddings (fixed-width)
+    val emb = norm.mapPartitions(it =>
+        it.map(d => (d.url, CheapEmbed.embed(d.norm_text, dim))))
+      .toDF("e_url", "e_vec")
+
     val sa = sigs.select($"url".as("a_url"), $"shingles".as("a_sh"),
       $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
     val sb = sigs.select($"url".as("b_url"), $"shingles".as("b_sh"),
       $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
+    val ea = emb.select($"e_url".as("ea_url"), $"e_vec".as("a_vec"))
+    val eb = emb.select($"e_url".as("eb_url"), $"e_vec".as("b_vec"))
+
+    // phase 1: raw scores for every pair — fixed-width columns only.
+    // localCheckpoint: the narrow (a, b, scores) relation is reused by the
+    // gray-subset filter AND the final decision pass without re-running
+    // the joins; blocks are reclaimed by the ContextCleaner.
+    val scored = cands.toDF()
+      .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
+      .join(ea, $"a" === $"ea_url").join(eb, $"b" === $"eb_url")
+      .select($"a", $"b", $"a_eh", $"b_eh", $"a_sh", $"b_sh",
+        $"a_hi", $"a_lo", $"b_hi", $"b_lo", $"a_vec", $"b_vec")
+      .as[(String, String, String, String, Array[Long], Array[Long],
+        Long, Long, Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (a, b, aeh, beh, ash, bsh, ahi, alo, bhi, blo, av, bv) =>
+        val exact = aeh == beh
+        (a, b, exact,
+          SimHash.similarity(ahi, alo, bhi, blo, c.simhashBits),
+          MinHashSig.jaccardSorted(ash, bsh),
+          // decide() never consults the embedding for exact pairs
+          if (exact) Double.NaN else CheapEmbed.cosine(av, bv))
+      })
+      .toDF("a", "b", "exact", "sim_raw", "min_raw", "cos")
+      .localCheckpoint()
+
+    // phase 2: k=2 rescore for the gray-zone subset only
     val na = norm.select($"url".as("na_url"), $"norm_text".as("a_text"))
     val nb = norm.select($"url".as("nb_url"), $"norm_text".as("b_text"))
-
-    val c = conf
-    val p = params
-    val dim = conf.embedDim
-    cands.toDF()
-      .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
-      .join(na, $"a" === $"na_url").join(nb, $"b" === $"nb_url")
-      .select($"a", $"b", $"a_eh", $"b_eh", $"a_sh", $"b_sh",
-        $"a_hi", $"a_lo", $"b_hi", $"b_lo", $"a_text", $"b_text")
-      .as[(String, String, String, String, Array[Long], Array[Long],
-        Long, Long, Long, Long, String, String)]
+    val k2Tbl = scored
+      .as[(String, String, Boolean, Double, Double, Double)]
+      .filter(r => !r._3 && needsEscalation(c, p, r._4, r._5, r._6))
+      .toDF("ga", "gb", "gex", "gsim", "gmin", "gcos")
+      .select($"ga", $"gb")
+      .join(na, $"ga" === $"na_url").join(nb, $"gb" === $"nb_url")
+      .select($"ga", $"gb", $"a_text", $"b_text")
+      .as[(String, String, String, String)]
       .mapPartitions { it =>
-        val embCache = new java.util.HashMap[String, Array[Float]]()
-        def embOf(u: String, t: String) = {
-          var e = embCache.get(u)
-          if (e == null) { e = CheapEmbed.embed(t, dim); embCache.put(u, e) }
-          e
-        }
         val k2Cache = new java.util.HashMap[String, Array[Long]]()
         def k2Of(u: String, t: String) = {
           var s = k2Cache.get(u)
           if (s == null) { s = k2Shingles(t, c); k2Cache.put(u, s) }
           s
         }
-        it.map { case (a, b, aeh, beh, ash, bsh, ahi, alo, bhi, blo, at, bt) =>
-          val exact = aeh == beh
-          val simRaw = SimHash.similarity(ahi, alo, bhi, blo, c.simhashBits)
-          val minRaw = MinHashSig.jaccardSorted(ash, bsh)
-          var cosMemo: java.lang.Double = null
-          def cos: Double = {
-            if (cosMemo == null) cosMemo = CheapEmbed.cosine(embOf(a, at), embOf(b, bt))
-            cosMemo.doubleValue()
-          }
-          var k2Memo: java.lang.Double = null
-          def k2: Double = {
-            if (k2Memo == null) k2Memo = MinHashSig.jaccardSorted(k2Of(a, at), k2Of(b, bt))
-            k2Memo.doubleValue()
-          }
-          val (label, kind, reason, steps, simProb, minProb, embProb, k2Raw) =
-            decide(c, p, exact, simRaw, minRaw, cos, k2)
-          CalVerdict(a, b, pairKey(a, b), exact, simRaw, minRaw,
-            Option(cosMemo).map(cv => CheapEmbed.cosToUnit(cv.doubleValue())),
-            simProb, minProb, embProb, k2Raw, label, kind, reason, steps)
+        it.map { case (ga, gb, at, bt) =>
+          (ga, gb, MinHashSig.jaccardSorted(k2Of(ga, at), k2Of(gb, bt)))
         }
+      }.toDF("ka", "kb", "k2")
+
+    // final: decide() over raw scores; the by-name k2 argument is forced
+    // exactly for gray-zone pairs, which are exactly the rows k2Tbl holds
+    // (needsEscalation mirrors decide's pre-escalation exits)
+    scored.join(k2Tbl, $"a" === $"ka" && $"b" === $"kb", "left")
+      .select($"a", $"b", $"exact", $"sim_raw", $"min_raw", $"cos", $"k2")
+      .as[(String, String, Boolean, Double, Double, Double, Option[Double])]
+      .map { case (a, b, exact, simRaw, minRaw, cos, k2Opt) =>
+        val (label, kind, reason, steps, simProb, minProb, embProb, k2Raw) =
+          decide(c, p, exact, simRaw, minRaw, cos,
+            k2Opt.getOrElse(sys.error(s"missing escalation rescore for $a||$b")))
+        CalVerdict(a, b, pairKey(a, b), exact, simRaw, minRaw,
+          if (exact) None else Some(CheapEmbed.cosToUnit(cos)),
+          simProb, minProb, embProb, k2Raw, label, kind, reason, steps)
       }
   }
 }

@@ -301,7 +301,12 @@ object DedupPipeline {
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .mapPartitions { it =>
         val embCache = new java.util.HashMap[String, Array[Float]]()
-        val ws = new SuffixLCS.Workspace(2 * spanCap + 1)
+        val useAutomaton = conf.spanViaAutomaton
+        val ws = if (useAutomaton) null else new SuffixLCS.Workspace(2 * spanCap + 1)
+        val wsAuto = if (useAutomaton) new graft.sa.SuffixAutomaton.Workspace(spanCap) else null
+        def sharedSpan(at: String, bt: String): Int =
+          if (useAutomaton) graft.sa.SuffixAutomaton.lcs(at, bt, wsAuto)
+          else SuffixLCS.longestCommonSubstring(at, bt, ws)
         def embOf(url: String, text: String): Array[Float] = {
           var e = embCache.get(url)
           if (e == null) { e = CheapEmbed.embed(text, dim); embCache.put(url, e) }
@@ -315,9 +320,9 @@ object DedupPipeline {
           val cos = if (doEmb) Some(CheapEmbed.cosine(embOf(a, at), embOf(b, bt))) else None
           val t1 = System.nanoTime()
           val span = if (doSpan)
-            SuffixLCS.longestCommonSubstring(
+            sharedSpan(
               if (at.length > spanCap) at.substring(0, spanCap) else at,
-              if (bt.length > spanCap) bt.substring(0, spanCap) else bt, ws)
+              if (bt.length > spanCap) bt.substring(0, spanCap) else bt)
           else 0
           val t2 = System.nanoTime()
           embNanos.foreach(_.add(t1 - t0))

@@ -72,6 +72,71 @@ class PropertySpec extends AnyFunSuite {
     assert(SuffixLCS.longestCommonSubstring(a, b) >= span.length)
   }
 
+  test("suffix automaton LCS == suffix-array LCS on random / planted / unicode inputs") {
+    import graft.sa.SuffixAutomaton
+    val rng = new DetRng(17)
+    // shared workspace across ALL cases — exercises clean reuse
+    val ws = new SuffixAutomaton.Workspace(4096)
+    // random small alphabet (forces dense repeats + clones)
+    (0 until 400).foreach { _ =>
+      val a = randString(rng, 1 + rng.nextInt(60), "ab")
+      val b = randString(rng, 1 + rng.nextInt(60), "ab")
+      assert(SuffixAutomaton.lcs(a, b, ws) == SuffixLCS.longestCommonSubstring(a, b),
+        s"a=$a b=$b")
+    }
+    // larger mixed-alphabet strings with planted spans
+    (0 until 40).foreach { i =>
+      val span = randString(rng, 50 + rng.nextInt(200), "abcdefgh ")
+      val a = randString(rng, rng.nextInt(800), "abcdefgh ") + span +
+        randString(rng, rng.nextInt(800), "abcdefgh ")
+      val b = randString(rng, rng.nextInt(800), "hgfedcba ") + span +
+        randString(rng, rng.nextInt(800), "hgfedcba ")
+      assert(SuffixAutomaton.lcs(a, b, ws) == SuffixLCS.longestCommonSubstring(a, b), s"case $i")
+    }
+    // unicode (CJK + combining), identical, disjoint, empty
+    val cjk = "这是一个测试文档其中包含很多汉字"
+    assert(SuffixAutomaton.lcs(cjk, "文档其中包含", ws) ==
+      SuffixLCS.longestCommonSubstring(cjk, "文档其中包含"))
+    assert(SuffixAutomaton.lcs(cjk, cjk, ws) == cjk.length)
+    assert(SuffixAutomaton.lcs("abc", "xyz", ws) == 0)
+    assert(SuffixAutomaton.lcs("", "abc") == 0)
+    assert(SuffixAutomaton.lcs("abc", "") == 0)
+    assert(SuffixAutomaton.lcs(null, "abc") == 0)
+  }
+
+  test("pipeline span pass: automaton and suffix-array configs produce identical verdicts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (fam, _) = graft.pages.PagesSource.syntheticCorpus(spark, nFamilies = 25, membersPerFamily = 5)
+    // planted mid-jaccard pairs (~0.67: below the 0.75 vote threshold,
+    // above the 0.2 span floor) sharing a long contiguous span — these land
+    // in the verify stage's span subset, which pure near-dup families miss
+    val rng2 = new DetRng(77)
+    val planted = (0 until 6).flatMap { i =>
+      val span = (0 until 160).map(_ => s"s${i}x${rng2.nextInt(500)}").mkString(" ")
+      val ua = (0 until 40).map(_ => s"ua${i}x${rng2.nextInt(500)}").mkString(" ")
+      val ub = (0 until 40).map(_ => s"ub${i}x${rng2.nextInt(500)}").mkString(" ")
+      Seq(graft.model.Schemas.Page(s"http://span/$i/a",
+          new java.sql.Timestamp(1704067200000L), Array.emptyByteArray, span + " " + ua, "en"),
+        graft.model.Schemas.Page(s"http://span/$i/b",
+          new java.sql.Timestamp(1704067200000L), Array.emptyByteArray, ub + " " + span, "en"))
+    }
+    val pages = fam.union(spark.createDataset(planted))
+    def spans(conf: DedupConfig, tag: String): Map[String, Int] = {
+      val dir = s"/tmp/graft_test_spanalg_$tag"
+      TestUtil.deleteRecursively(new java.io.File(dir))
+      graft.plans.DedupPipeline.run(spark, pages, dir, conf, resume = false)
+      spark.read.parquet(s"$dir/06_verdicts").select($"pair_key", $"shared_span_len")
+        .as[(String, Int)].collect().toMap
+    }
+    val auto = spans(DedupConfig.balanced, "auto")
+    val sa = spans(DedupConfig.balanced.copy(spanViaAutomaton = false), "sa")
+    assert(auto.keySet == sa.keySet)
+    val diffs = auto.count { case (k, v) => sa(k) != v }
+    assert(diffs == 0, s"$diffs shared_span_len differences between span algorithms")
+    assert(auto.values.exists(_ > 0), "no span pair exercised the pass")
+  }
+
   test("MinHash signature is independent of shingle order") {
     val (as, bs) = MinHashSig.permutations(64)
     val rng = new DetRng(5)
