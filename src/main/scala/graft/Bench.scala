@@ -58,6 +58,7 @@ object Bench {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+  private[graft] def deleteRecursivelyPublic(f: java.io.File): Unit = deleteRecursively(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,13 +110,32 @@ object ScalingBench {
     val bc = spark.sparkContext.broadcast(texts)
     pages.map { p =>
       val n = bc.value.length
-      // key the mixture on the page's base doc id so a family's variants
-      // share their appended text (duplicate structure is preserved)
-      val baseId = p.url.split("/doc/")(1).split("/")(0).toLong
-      val h = (math.abs(graft.pages.PagesSource.mix64(baseId)) % n).toInt
+      // key the mixture on (base doc id, replica): a family's variants
+      // share their appended text (duplicate structure preserved) while
+      // different replicas of the same doc get DISJOINT mixtures, so
+      // cross-replica pairs stay far below candidate similarity
+      val baseId = p.url.split("/doc/")(1).split("/")(0).takeWhile(_.isDigit).toLong
+      val rIdx = p.url.indexOf("#r")
+      val replica = if (rIdx < 0) 0 else p.url.substring(rIdx + 2).toInt
+      val h = (math.abs(graft.pages.PagesSource.mix64(baseId + 7919L * replica)) % n).toInt
       val extra = (1 until factor).map(j => bc.value((h + j * 37) % n))
       p.copy(text = (p.text +: extra).mkString(" "))
     }
+  }
+
+  /** Corpus replication for the scaling bench: `rep` copies of every page,
+    * distinguished by a url fragment that expandPages keys its mixture on.
+    * Family structure (and therefore candidate-pair count) scales LINEARLY
+    * with `rep` — replicas are textually disjoint after expansion, so no
+    * cross-replica candidates and no quadratic family blowup.
+    */
+  def replicatePages(spark: org.apache.spark.sql.SparkSession,
+                     pages: org.apache.spark.sql.Dataset[graft.model.Schemas.Page],
+                     rep: Int): org.apache.spark.sql.Dataset[graft.model.Schemas.Page] = {
+    import spark.implicits._
+    if (rep <= 1) pages
+    else pages.flatMap(p => (0 until rep).iterator.map(r =>
+      if (r == 0) p else p.copy(url = p.url + s"#r$r")))
   }
 
   /** Build a session for an executor-JVM cluster emulation:
@@ -154,14 +174,37 @@ object ScalingBench {
     */
   def interClusterPause(): Unit = Thread.sleep(8000)
 
+  /** JIT warm-up: one small full-pipeline run (untimed) so the timed
+    * measurement sees compiled code on every executor — symmetric at both
+    * cluster sizes, standard bench practice. Long-running production
+    * executors are always warm; without this the first ~10s of the timed
+    * run measures the JIT, a fixed cost that biases the small-cluster side
+    * of the efficiency ratio.
+    */
+  def warmup(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    val warmPages = graft.pages.PagesSource.fromDocuments(spark, sfDir, 1).limit(3000)
+    val dir = s"/tmp/graft_scalwarm_${System.nanoTime()}"
+    DedupPipeline.run(spark, warmPages, dir, DedupConfig.balanced, resume = false).count()
+    Bench.deleteRecursivelyPublic(new java.io.File(dir))
+  }
+
+  def buildPages(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                 variants: Int): org.apache.spark.sql.Dataset[graft.model.Schemas.Page] = {
+    val expand = sys.env.getOrElse("SPARK_GRAFT_EXPAND", "8").toInt
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
+    expandPages(spark,
+      replicatePages(spark,
+        graft.pages.PagesSource.fromDocuments(spark, sfDir, variants), rep),
+      sfDir, expand)
+  }
+
   def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,
                      variants: Int): (Long, Double) = {
     val spark = buildClusterSpark(workers, coresPerWorker,
       sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker)
     spark.sparkContext.setLogLevel("WARN")
-    val expand = sys.env.getOrElse("SPARK_GRAFT_EXPAND", "8").toInt
-    val pages = expandPages(spark,
-      graft.pages.PagesSource.fromDocuments(spark, sfDir, variants), sfDir, expand)
+    warmup(spark, sfDir)
+    val pages = buildPages(spark, sfDir, variants)
     val n = pages.count()
     val runDir = s"/tmp/graft_scaling_c${workers}x${coresPerWorker}_${System.nanoTime()}"
     val t0 = System.nanoTime()
@@ -174,9 +217,8 @@ object ScalingBench {
   def runOnce(cpus: Int, sfDir: String, variants: Int): (Long, Double) = {
     val spark = Bench.buildSpark(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
-    val expand = sys.env.getOrElse("SPARK_GRAFT_EXPAND", "8").toInt
-    val pages = expandPages(spark,
-      graft.pages.PagesSource.fromDocuments(spark, sfDir, variants), sfDir, expand)
+    warmup(spark, sfDir)
+    val pages = buildPages(spark, sfDir, variants)
     val n = pages.count()
     val runDir = s"/tmp/graft_scaling_${cpus}_${System.nanoTime()}"
     val t0 = System.nanoTime()

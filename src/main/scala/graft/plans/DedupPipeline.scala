@@ -509,8 +509,11 @@ object DedupPipeline {
                                          confHash: String, verdicts: DataFrame, clusters: DataFrame): Unit = {
     import spark.implicits._
     val summary = graft.metrics.Metrics.runSummary(verdicts).first()
-    val nClusters = clusters.select($"cluster_id").distinct().count()
-    val clustered = clusters.count()
+    // one aggregation job for both cluster counts
+    val cRow = clusters.agg(
+      countDistinct($"cluster_id").as("n"), count(lit(1)).as("docs")).first()
+    val nClusters = cRow.getLong(0)
+    val clustered = cRow.getLong(1)
     val lineageDir = new Path(s"$runDir/lineage")
     val f0 = fs(spark, runDir)
     // explicit per-stage paths, not a "lineage/*" glob: Spark's source
@@ -531,8 +534,11 @@ object DedupPipeline {
     // per-text learner evidence: pair counts from the persisted verdicts,
     // summed task wall from the verify accumulators (0 when 06_verdicts was
     // resumed — the stage didn't run, so there is no wall to report)
-    val embPairs = verdicts.filter($"emb_cos".isNotNull).count()
-    val spanPairs = verdicts.filter($"shared_span_len" > 0).count()
+    val hRow = verdicts.agg(
+      sum(when($"emb_cos".isNotNull, 1).otherwise(0)).as("e"),
+      sum(when($"shared_span_len" > 0, 1).otherwise(0)).as("s")).first()
+    val embPairs = hRow.getLong(0)
+    val spanPairs = hRow.getLong(1)
     val embMs = Option(spark.sparkContext.getLocalProperty("graft.embWallMs")).getOrElse("0")
     val spanMs = Option(spark.sparkContext.getLocalProperty("graft.spanWallMs")).getOrElse("0")
     val json =
