@@ -44,6 +44,36 @@ object SparkEntry {
     (9000003L, "ko", "이것은 한국어 테스트 문서 입니다 언어 감지 평가"),
     (9000004L, "en", "the quick test and it was for this with that is in"))
 
+  /** Deterministic messy fetch-URL per document — the input for the URL
+    * canonicalization operators (q_url_canonical / q_url_dup_groups /
+    * q_domain_stats). Every URL-variant class WARC refetches produce is
+    * planted as a pure function of doc_id so the DuckDB oracle re-derives
+    * the identical string: scheme/host case (doc_id%4, `.Example.org`),
+    * `www.` prefix, default `:443` port (doc_id%7), trailing slash
+    * (doc_id%3), a `utm_source` tracking param (doc_id%2), out-of-order
+    * surviving params `z`/`a` (g%3), and a `#sec` fragment (doc_id%6).
+    * The canonical collapses to a function of (source, g = doc_id%50)
+    * only, so with source = doc_id%20 the corpus forms url-dup groups of
+    * lcm(20,50)/… ~5 docs at sf0.01.
+    */
+  private def messyUrls(s: SparkSession, dir: String): DataFrame = {
+    val g = col("doc_id") % 50
+    val url = concat(
+      when(col("doc_id") % 4 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+      when(g % 5 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.org"),
+      when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), g.cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(col("doc_id") % 2 === 0, lit("utm_source=feed&")).otherwise(lit("")),
+      when(g % 3 === 1, lit("z=9&")).otherwise(lit("")),
+      lit("id="), (g % 13).cast("string"),
+      when(g % 3 === 1, lit("&a=1")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"), url.as("url"), col("n_chars"))
+  }
+
   /** Base ∪ deterministic uppercase/whitespace variants — gives the
     * dedup queries real duplicate groups to find, derivable identically in
     * Spark and DuckDB SQL.
@@ -360,6 +390,34 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
         .orderBy("doc_id", "pos")
     }),
+    "q_url_canonical" -> ((s, dir) => {
+      // URL canonicalization (UrlOps.canonicalUrl Scaladoc) over planted
+      // messy fetch URLs; DuckDB recomputes the whole chain independently.
+      messyUrls(s, dir)
+        .select(col("doc_id"), col("url"),
+          graft.text.UrlOps.canonicalUrl(col("url")).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+    "q_url_dup_groups" -> ((s, dir) => {
+      // URL-level dup grouping: refetch variants collapse to one canonical
+      // URL; groups >1 are the WARC-refetch duplicate class (removable
+      // before any content pass — a projection + one groupBy shuffle).
+      messyUrls(s, dir)
+        .select(graft.text.UrlOps.canonicalUrl(col("url")).as("canon_url"), col("doc_id"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("canon_url")
+    }),
+    "q_domain_stats" -> ((s, dir) => {
+      // Per-domain corpus stats (UrlOps.hostOf) — the skew axis that the
+      // candidate caps / mega-bucket guards act along at web scale.
+      messyUrls(s, dir)
+        .select(graft.text.UrlOps.hostOf(col("url")).as("domain"), col("n_chars"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("domain")
+    }),
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
       // planted CJK rows exercise the codepoint-ratio branch (the sf corpus
@@ -651,6 +709,24 @@ object SparkEntry {
   private def stopwordsInList: String =
     graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB mirror of `messyUrls` — the same deterministic messy fetch-URL
+    * per document, re-derived in SQL so the url-oracle rows are a fully
+    * independent recomputation (derivation AND canonicalization).
+    */
+  private val messyUrlSql: String =
+    "SELECT doc_id, n_chars, " +
+      "(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
+      "(CASE WHEN (doc_id % 50) % 5 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.org' || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) || " +
+      "'/p/' || CAST(doc_id % 50 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || " +
+      "'?' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END) || " +
+      "(CASE WHEN (doc_id % 50) % 3 = 1 THEN 'z=9&' ELSE '' END) || " +
+      "'id=' || CAST((doc_id % 50) % 13 AS VARCHAR) || " +
+      "(CASE WHEN (doc_id % 50) % 3 = 1 THEN '&a=1' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url " +
+      "FROM documents"
+
   /** Shared CTE fragment: per-distinct-score (pos, tot) + cumulative counts
     * over strictly-smaller scores — the DuckDB mirror of
     * Metrics.scoreCumulative (window over distinct scores is fine
@@ -872,6 +948,41 @@ object SparkEntry {
         "SELECT doc_id, s['pos'] AS pos, s['token'] AS token FROM " +
         "(SELECT doc_id, unnest(list_transform(toks, (x, i) -> {'pos': CAST(i - 1 AS BIGINT), 'token': x})) AS s FROM b) " +
         "ORDER BY doc_id, pos"),
+    "q_url_canonical" ->
+      (s"WITH u AS ($messyUrlSql), " +
+        "c AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
+        "regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM u), " +
+        "d AS (SELECT doc_id, url, " +
+        "regexp_replace(regexp_replace(lower(rawauth), '^(https://[^/?#:]*):443$', '\\1'), '^(http://[^/?#:]*):80$', '\\1') AS auth, " +
+        "regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path, " +
+        "regexp_extract(rest, '\\?([^#]*)', 1) AS q FROM c), " +
+        "e AS (SELECT doc_id, url, auth, path, " +
+        "array_to_string(list_sort(list_filter(string_split(q, '&'), " +
+        "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$'))), '&') AS sq FROM d) " +
+        "SELECT doc_id, url, auth || path || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canon_url " +
+        "FROM e ORDER BY doc_id"),
+    "q_url_dup_groups" ->
+      (s"WITH u AS ($messyUrlSql), " +
+        "c AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
+        "regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM u), " +
+        "d AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(lower(rawauth), '^(https://[^/?#:]*):443$', '\\1'), '^(http://[^/?#:]*):80$', '\\1') AS auth, " +
+        "regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path, " +
+        "regexp_extract(rest, '\\?([^#]*)', 1) AS q FROM c), " +
+        "e AS (SELECT doc_id, auth || path || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canon_url FROM " +
+        "(SELECT doc_id, auth, path, array_to_string(list_sort(list_filter(string_split(q, '&'), " +
+        "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$'))), '&') AS sq FROM d)) " +
+        "SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc FROM e " +
+        "GROUP BY canon_url HAVING COUNT(*) > 1 ORDER BY canon_url"),
+    "q_domain_stats" ->
+      (s"WITH u AS ($messyUrlSql), " +
+        "h AS (SELECT doc_id, n_chars, regexp_replace(" +
+        "regexp_extract(lower(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), " +
+        "'^www\\.', '') AS domain FROM u) " +
+        "SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM h " +
+        "GROUP BY domain ORDER BY domain"),
     "q_lang_id" -> {
       val markerSql = TextOps.Markers.map { case (lang, set) =>
         val inList = set.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")

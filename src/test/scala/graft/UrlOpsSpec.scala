@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization (UrlOps): hand-computed vectors for every rule,
+  * idempotence, and the dup-group collapse on the planted messy corpus.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url")
+      .select(graft.text.UrlOps.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+  }
+
+  test("canonicalUrl: each rule on a hand-computed vector") {
+    val cases = Seq(
+      // scheme + host case
+      "HTTPS://WWW.Site.Example/a" -> "https://www.site.example/a",
+      // default ports stripped, non-default kept
+      "https://h.example:443/x" -> "https://h.example/x",
+      "http://h.example:80/x" -> "http://h.example/x",
+      "https://h.example:8443/x" -> "https://h.example:8443/x",
+      "http://h.example:443/x" -> "http://h.example:443/x", // 443 not default for http
+      // fragment dropped
+      "https://h.example/x#frag" -> "https://h.example/x",
+      // tracking params dropped, remainder sorted, '?' dropped when empty
+      "https://h.example/x?utm_source=a&utm_campaign=b" -> "https://h.example/x",
+      "https://h.example/x?z=2&a=1&fbclid=abc" -> "https://h.example/x?a=1&z=2",
+      "https://h.example/x?gclid=1&msclkid=2&ref=t&mc_eid=3&k=v" -> "https://h.example/x?k=v",
+      // a key that merely STARTS with a tracking name survives
+      "https://h.example/x?refresh=1" -> "https://h.example/x?refresh=1",
+      // valueless tracking key dropped too
+      "https://h.example/x?ref&b=2" -> "https://h.example/x?b=2",
+      // trailing slashes; bare root collapses to empty path
+      "https://h.example/a/b/" -> "https://h.example/a/b",
+      "https://h.example/a//" -> "https://h.example/a",
+      "https://h.example/" -> "https://h.example",
+      // query+fragment on a slashed path
+      "HTTP://H.example:80/p/?b=2&a=1#s" -> "http://h.example/p?a=1&b=2")
+    val got = canon(cases.map(_._1))
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach { case ((exp, g), in) =>
+      assert(g == exp, s"for $in")
+    }
+  }
+
+  test("canonicalUrl is idempotent on the planted corpus") {
+    import spark.implicits._
+    val u = SparkEntry.queries("q_url_canonical")(spark, sf)
+    val twice = u.select(col("canon_url"),
+      graft.text.UrlOps.canonicalUrl(col("canon_url")).as("c2"))
+    assert(twice.filter(col("canon_url") =!= col("c2")).count() == 0)
+    assert(u.count() > 0)
+  }
+
+  test("hostOf strips scheme, userinfo, port, www and lowercases") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Site.Example:443/a?q=1" -> "site.example",
+      "http://user:pw@Host.example/x" -> "host.example",
+      "https://wwwx.example/" -> "wwwx.example")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.text.UrlOps.hostOf(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("url dup groups collapse refetch variants; members share one canonical") {
+    import spark.implicits._
+    val groups = SparkEntry.queries("q_url_dup_groups")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(groups.nonEmpty, "expected url-dup groups on the planted corpus")
+    // canonical key is a function of (source, doc_id % 50): verify one group
+    // against a direct recomputation
+    val perDoc = SparkEntry.queries("q_url_canonical")(spark, sf)
+      .select(col("doc_id"), col("canon_url")).as[(Long, String)].collect().toMap
+    groups.foreach { case (cu, n, first) =>
+      val members = perDoc.filter(_._2 == cu).keys.toSeq.sorted
+      assert(members.size == n && members.head == first, s"group $cu")
+    }
+    // no canonical contains a fragment, tracking param, or upper-case authority
+    perDoc.values.foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains(":443"))
+      assert(c.takeWhile(_ != '/') == c.takeWhile(_ != '/').toLowerCase)
+    }
+  }
+}
