@@ -119,6 +119,22 @@ object SparkEntry {
     rd
   }
 
+  /** Incremental-ingest run shared per sf dir: the base pipeline (variants
+    * 0..2 pages) is the "existing corpus"; variants v3/v4 of the same
+    * documents are the deterministic "new crawl batch" (near-dup or
+    * negative transforms of existing families plus occasional exact
+    * refetches). IncrementalDedup persists its stages under
+    * `<runDir>/inc_*` with the same resume markers.
+    */
+  def incrementalRunDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val rd = pipelineRunDir(s, dir)
+    val newPages = PagesSource.fromDocuments(s, dir, variants = 4)
+      .filter((p: graft.model.Schemas.Page) => p.url.endsWith("/v3") || p.url.endsWith("/v4"))
+    graft.plans.IncrementalDedup.ingest(s, rd, newPages, rd, DedupConfig.balanced, resume = true)
+    rd
+  }
+
   /** Deterministic variants=0 pages dump (multimodal binary-column input for
     * q_html_meta); written once per sf dir, read by Spark AND DuckDB.
     */
@@ -509,6 +525,15 @@ object SparkEntry {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/07_clusters")
         .orderBy("cluster_id", "url")
     }),
+    "q_ingest_near_dup" -> ((s, dir) => {
+      // Incremental near-dup ingest (IncrementalDedup Scaladoc): new-batch
+      // pages deduped against the persisted old corpus, touched components
+      // only. The DuckDB oracle recomputes candidates from the band
+      // parquet, verdicts from the sig parquet, exact attachment from the
+      // norm hashes, and the component merge via a recursive CTE.
+      s.read.parquet(s"${incrementalRunDir(s, dir)}/inc_07_assign")
+        .orderBy("cluster_id", "url")
+    }),
     "q_cluster_summary" -> ((s, dir) => {
       // T2 cluster ordering: size desc, then first member
       // (near_duplicate.py:369-371)
@@ -705,6 +730,9 @@ object SparkEntry {
     s"read_parquet('${runDirFor(dir)}/02_reps/*.parquet')"
   private def pagesPq(dir: String) =
     s"read_parquet('/tmp/graft_pages_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*.parquet')"
+
+  private def incPq(dir: String, name: String) =
+    s"read_parquet('${runDirFor(dir)}/$name/*.parquet')"
 
   private def stopwordsInList: String =
     graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -1130,6 +1158,68 @@ object SparkEntry {
         "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id) " +
         "SELECT a.url, a.cluster_id, s.cluster_size FROM assigned a " +
         "JOIN sizes s ON s.cluster_id = a.cluster_id " +
+        "WHERE s.cluster_size >= 2 ORDER BY a.cluster_id, a.url"),
+    // Incremental ingest recomputed end-to-end: candidates from the band
+    // parquet (new-bucket probe + combined guard + cap), verdict labels
+    // from the sig parquet (exact Jaccard via shingle intersection,
+    // Hamming via xor/bit_count; emb tiebreak identity-read like
+    // q_dedup_verdicts), exact attachment from the norm hashes, and the
+    // touched-component merge via the same recursive-CTE min-label fixed
+    // point as the clusters oracle.
+    "q_ingest_near_dup" ->
+      (s"WITH RECURSIVE nb AS (SELECT band, bucket, url FROM ${incPq(dir, "inc_04_bands")}), " +
+        s"obk AS (SELECT o.band, o.bucket, o.url FROM ${bandsPq(dir)} o " +
+        "JOIN (SELECT DISTINCT band, bucket FROM nb) k ON k.band = o.band AND k.bucket = o.bucket), " +
+        "sizes AS (SELECT band, bucket, count(*) AS total FROM " +
+        "(SELECT band, bucket, url FROM nb UNION ALL SELECT band, bucket, url FROM obk) GROUP BY band, bucket), " +
+        "ok AS (SELECT band, bucket FROM sizes WHERE total <= 2000), " +
+        "nbo AS (SELECT nb.band, nb.bucket, nb.url FROM nb JOIN ok ON ok.band = nb.band AND ok.bucket = nb.bucket), " +
+        "obo AS (SELECT obk.band, obk.bucket, obk.url FROM obk JOIN ok ON ok.band = obk.band AND ok.bucket = obk.bucket), " +
+        "intra AS (SELECT x.url AS a, y.url AS b FROM nbo x JOIN nbo y " +
+        "ON x.band = y.band AND x.bucket = y.bucket AND x.url < y.url), " +
+        "crossp AS (SELECT least(n.url, o.url) AS a, greatest(n.url, o.url) AS b FROM nbo n JOIN obo o " +
+        "ON n.band = o.band AND n.bucket = o.bucket), " +
+        "pairs0 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM intra UNION ALL SELECT a, b FROM crossp)), " +
+        "cand AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs0) WHERE rn <= 2000), " +
+        s"sig AS (SELECT url, exact_hash, shingles, simhash_hi, simhash_lo FROM ${incPq(dir, "inc_03_sig")} " +
+        s"UNION ALL SELECT url, exact_hash, shingles, simhash_hi, simhash_lo FROM ${sigPq(dir)}), " +
+        "j AS (SELECT c.a, c.b, (x.exact_hash = y.exact_hash) AS exact, " +
+        "CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS i, " +
+        "CAST(len(x.shingles) + len(y.shingles) AS BIGINT) AS nab, " +
+        "CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INTEGER) AS hamming " +
+        "FROM cand c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b), " +
+        "sc AS (SELECT a, b, exact, " +
+        "CASE WHEN nab - i = 0 THEN 0.0::DOUBLE ELSE CAST(i AS DOUBLE) / CAST(nab - i AS DOUBLE) END AS jaccard, " +
+        "greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / 128.0::DOUBLE) AS sim_sim FROM j), " +
+        s"e AS (SELECT a, b, emb_cos FROM ${incPq(dir, "inc_06_verdicts")}), " +
+        "w AS (SELECT sc.a, sc.b, sc.exact, " +
+        "(CASE WHEN sc.sim_sim >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN sc.jaccard >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN COALESCE(e.emb_cos >= 0.988::DOUBLE OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= 0.988::DOUBLE, false) THEN 1 ELSE 0 END) AS votes " +
+        "FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.b), " +
+        "dup AS (SELECT a, b FROM w WHERE exact OR votes >= 2), " +
+        s"xatt AS (SELECT min(o.url) AS a, n.url AS b FROM ${incPq(dir, "inc_01_norm")} n " +
+        s"JOIN ${incPq(dir, "inc_02_reps")} r ON r.url = n.url AND r.url = r.rep " +
+        s"JOIN ${normPq(dir)} o ON o.exact_hash = n.exact_hash GROUP BY n.url), " +
+        s"stars AS (SELECT rep AS a, url AS b FROM ${incPq(dir, "inc_02_reps")} WHERE url <> rep), " +
+        "edges AS (SELECT a, b FROM dup UNION SELECT a, b FROM xatt UNION SELECT a, b FROM stars), " +
+        "eps AS (SELECT a AS url FROM edges UNION SELECT b AS url FROM edges), " +
+        s"touched AS (SELECT DISTINCT cluster_id FROM ${clustersPq(dir)} c JOIN eps ON eps.url = c.url), " +
+        s"ostars AS (SELECT c.cluster_id AS a, c.url AS b FROM ${clustersPq(dir)} c " +
+        "JOIN touched t ON t.cluster_id = c.cluster_id WHERE c.url <> c.cluster_id), " +
+        "alledges AS (SELECT a, b FROM edges UNION SELECT a, b FROM ostars), " +
+        "sym AS (SELECT a AS u, b AS v FROM alledges UNION SELECT b, a FROM alledges), " +
+        "reach(u, c) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) " +
+        "UNION SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u), " +
+        "comp AS (SELECT u, min(c) AS comp FROM reach GROUP BY u), " +
+        s"newmem AS (SELECT r.url, cp.comp AS cluster_id FROM ${incPq(dir, "inc_02_reps")} r JOIN comp cp ON cp.u = r.rep), " +
+        s"oldmem AS (SELECT u AS url, comp AS cluster_id FROM comp " +
+        s"WHERE u NOT IN (SELECT url FROM ${incPq(dir, "inc_02_reps")})), " +
+        "assigned AS (SELECT DISTINCT url, cluster_id FROM (SELECT url, cluster_id FROM newmem UNION ALL SELECT url, cluster_id FROM oldmem)), " +
+        "sizes2 AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id) " +
+        s"SELECT a.url, a.cluster_id, s.cluster_size, " +
+        s"(a.url IN (SELECT url FROM ${incPq(dir, "inc_01_norm")})) AS is_new " +
+        "FROM assigned a JOIN sizes2 s ON s.cluster_id = a.cluster_id " +
         "WHERE s.cluster_size >= 2 ORDER BY a.cluster_id, a.url"),
     "q_cluster_summary" ->
       (s"SELECT cluster_id, count(*) AS cluster_size FROM ${clustersPq(dir)} " +

@@ -201,8 +201,14 @@ object DedupPipeline {
         $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
       val sb = sigs.select($"url".as("b_url"), $"shingles".as("b_sh"),
         $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
+      // SHUFFLE_HASH: sort-merge would SORT the array-carrying relations —
+      // at the 150k-page bench that is two sorts of ~2.4 GB of fat rows per
+      // join, the verify stage's dominant CPU once the span pass went
+      // linear. Hash-join streams the pairs side instead; the build side is
+      // the per-partition slice of the doc-keyed sig relation (~tens of MB).
       cands.toDF()
-        .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
+        .join(sa.hint("SHUFFLE_HASH"), $"a" === $"a_url")
+        .join(sb.hint("SHUFFLE_HASH"), $"b" === $"b_url")
         .withColumn("exact", $"a_eh" === $"b_eh")
         .withColumn("jaccard", jaccardCol("a_sh", "b_sh"))
         .withColumn("jaccard_est", lit(false))
@@ -249,19 +255,27 @@ object DedupPipeline {
         // exact pairs get the definitionally-exact 1.0/0.0, not an estimate
         .withColumn("jaccard_est", !$"exact")
       val exactBranch = pre.filter($"need_exact_j")
-        .join(ja, $"a" === $"ja_url").join(jb, $"b" === $"jb_url")
+        .join(ja.hint("SHUFFLE_HASH"), $"a" === $"ja_url")
+        .join(jb.hint("SHUFFLE_HASH"), $"b" === $"jb_url")
         .withColumn("jaccard", jaccardCol("ja_sh", "jb_sh"))
         .withColumn("jaccard_est", lit(false))
       val cols = Seq($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim")
       skipBranch.select(cols: _*).unionByName(exactBranch.select(cols: _*))
     }
 
+    // base is consumed by FOUR subtrees (span subset, emb subset, the
+    // final left join, and the window budget): localCheckpoint materializes
+    // the pair join ONCE as this narrow fixed-width relation (~100 B/row).
+    // Without it each consumer re-runs the array-carrying join — measured
+    // as three separate 2.4 GB map stages at the 150k-page bench. Blocks
+    // are reclaimed by the ContextCleaner when the plan goes out of scope.
     val base = scored
       .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
       .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
       .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))
       .select($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim",
         $"vote_sim", $"vote_min", $"votes_base")
+      .localCheckpoint()
 
     val need = conf.requiredVotes
 
@@ -286,50 +300,83 @@ object DedupPipeline {
       .filter($"do_emb" || $"do_span")
       .select($"a", $"b", $"do_emb", $"do_span")
 
-    val na = norm.select($"url".as("na_url"), $"norm_text".as("a_text"))
-    val nb = norm.select($"url".as("nb_url"), $"norm_text".as("b_text"))
-
     val dim = conf.embedDim
     val spanCap = conf.spanMaxTextChars
-    val heavy: DataFrame = subset
-      .join(na, $"a" === $"na_url").join(nb, $"b" === $"nb_url")
-      .select($"a", $"b", $"do_emb", $"do_span", $"a_text", $"b_text")
-      .as[(String, String, Boolean, Boolean, String, String)]
-      // CPU-heavy per row (embedding + suffix array), not byte-heavy: AQE
-      // coalesces this shuffle down by size and would serialize the work —
-      // spread it across the full parallelism explicitly
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+
+    // ---- embedding tiebreak, two-phase (per-doc embed ONCE) ----
+    // Each doc in an emb-needing pair is embedded exactly once and the
+    // fixed-width vectors join onto the pairs. The previous design embedded
+    // inside the pair pass behind a per-partition cache, whose hit rate —
+    // and therefore the stage's CPU — collapsed as partition count grew
+    // (measured 9.5 core-s at 4 shuffle partitions vs 100.6 core-s at 16
+    // for the identical 1.48M pairs). Per-doc embed is partitioning-
+    // independent and is the only shape that survives a real embedding
+    // model at corpus scale.
+    val embPairsIn = subset.filter($"do_emb").select($"a", $"b")
+    val embUrls = embPairsIn.select($"a".as("url"))
+      .union(embPairsIn.select($"b".as("url"))).distinct()
+    val docEmb = embUrls.join(norm.select($"url", $"norm_text"), "url")
+      .as[(String, String)]
+      .map { case (u, t) =>
+        val t0 = System.nanoTime()
+        val v = CheapEmbed.embed(t, dim)
+        embNanos.foreach(_.add(System.nanoTime() - t0))
+        (u, v)
+      }.toDF("url", "vec")
+      // consumed by both pair sides — materialize so docs embed once
+      .localCheckpoint()
+    val embScores = embPairsIn
+      .join(docEmb.select($"url".as("ea"), $"vec".as("va")).hint("SHUFFLE_HASH"), $"a" === $"ea")
+      .join(docEmb.select($"url".as("eb"), $"vec".as("vb")).hint("SHUFFLE_HASH"), $"b" === $"eb")
+      .select($"a", $"b", $"va", $"vb")
+      .as[(String, String, Array[Float], Array[Float])]
+      .map { case (a, b, va, vb) =>
+        val t0 = System.nanoTime()
+        val cos = CheapEmbed.cosine(va, vb)
+        embNanos.foreach(_.add(System.nanoTime() - t0))
+        (a, b, cos)
+      }.toDF("a", "b", "emb_cos")
+
+    // ---- span pass: text joins only for the span-budgeted pairs ----
+    // Texts are capped to spanMaxTextChars IN the projection, so the pair
+    // shuffle never carries bytes the suffix automaton won't read.
+    val na = norm.select($"url".as("na_url"),
+      substring($"norm_text", 1, spanCap).as("a_text"))
+    val nb = norm.select($"url".as("nb_url"),
+      substring($"norm_text", 1, spanCap).as("b_text"))
+    // No explicit repartition: with the linear-time automaton the pass is
+    // byte-normal (~0.2ms per pair), so AQE's size-based partitioning
+    // spreads it fine — the old repartition(2x parallelism) round-tripped
+    // the full pair+text relation (2.8 GB at the 150k-page bench) through
+    // one more shuffle to protect a CPU profile the suffix-array path no
+    // longer has. The SA path (spanViaAutomaton=false) keeps it.
+    val spanPairsIn = subset.filter($"do_span").select($"a", $"b")
+    val spanJoined = spanPairsIn
+      .join(na.hint("SHUFFLE_HASH"), $"a" === $"na_url")
+      .join(nb.hint("SHUFFLE_HASH"), $"b" === $"nb_url")
+      .select($"a", $"b", $"a_text", $"b_text")
+      .as[(String, String, String, String)]
+    val spanBase =
+      if (conf.spanViaAutomaton) spanJoined
+      else spanJoined.repartition(spark.sparkContext.defaultParallelism * 2)
+    val spanScores = spanBase
       .mapPartitions { it =>
-        val embCache = new java.util.HashMap[String, Array[Float]]()
         val useAutomaton = conf.spanViaAutomaton
         val ws = if (useAutomaton) null else new SuffixLCS.Workspace(2 * spanCap + 1)
         val wsAuto = if (useAutomaton) new graft.sa.SuffixAutomaton.Workspace(spanCap) else null
-        def sharedSpan(at: String, bt: String): Int =
-          if (useAutomaton) graft.sa.SuffixAutomaton.lcs(at, bt, wsAuto)
-          else SuffixLCS.longestCommonSubstring(at, bt, ws)
-        def embOf(url: String, text: String): Array[Float] = {
-          var e = embCache.get(url)
-          if (e == null) { e = CheapEmbed.embed(text, dim); embCache.put(url, e) }
-          e
-        }
-        it.map { case (a, b, doEmb, doSpan, at, bt) =>
-          // per-learner task-time accumulators: the evidence behind the
-          // span budget (spanMaxPairsPerDoc) — surfaced in metrics.json as
-          // emb/span wall share of the verify stage
+        it.map { case (a, b, at, bt) =>
           val t0 = System.nanoTime()
-          val cos = if (doEmb) Some(CheapEmbed.cosine(embOf(a, at), embOf(b, bt))) else None
-          val t1 = System.nanoTime()
-          val span = if (doSpan)
-            sharedSpan(
-              if (at.length > spanCap) at.substring(0, spanCap) else at,
-              if (bt.length > spanCap) bt.substring(0, spanCap) else bt)
-          else 0
-          val t2 = System.nanoTime()
-          embNanos.foreach(_.add(t1 - t0))
-          spanNanos.foreach(_.add(t2 - t1))
-          (a, b, cos, span)
+          val span =
+            if (useAutomaton) graft.sa.SuffixAutomaton.lcs(at, bt, wsAuto)
+            else SuffixLCS.longestCommonSubstring(at, bt, ws)
+          spanNanos.foreach(_.add(System.nanoTime() - t0))
+          (a, b, span)
         }
-      }.toDF("ha", "hb", "emb_cos", "shared_span_len")
+      }.toDF("a", "b", "shared_span_len")
+
+    val heavy: DataFrame = embScores
+      .join(spanScores, Seq("a", "b"), "full_outer")
+      .select($"a".as("ha"), $"b".as("hb"), $"emb_cos", $"shared_span_len")
 
     val thrEmb = conf.thrEmbedCosine
     val spanDup = conf.spanAsDuplicate

@@ -1,0 +1,192 @@
+package graft.plans
+
+import graft.DedupConfig
+import graft.model.Schemas._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup ingest — the production flow for a continuously
+  * crawled corpus: dedup a NEW batch of pages against an EXISTING signed
+  * corpus without recomputing (or even rescanning most of) the old data.
+  *
+  * What makes this the 100 TB shape rather than "run the pipeline again":
+  *
+  *   - The old corpus is touched only through its PERSISTED stage outputs
+  *     (01_norm hash columns, 04_bands, 03_sig, 07_clusters) — never its
+  *     text. All old-side reads are column-pruned and semi-join-restricted
+  *     to keys the new batch actually produces, so per-batch cost scales
+  *     with |batch| x bucket hit rate, not |corpus|.
+  *   - Candidate generation probes ONLY buckets that contain at least one
+  *     new-batch row: old bands are semi-joined against the new batch's
+  *     (band, bucket) set before any pair join. An idle old bucket
+  *     contributes zero I/O beyond the (pushdown-pruned) bands scan.
+  *   - Cluster maintenance is TOUCHED-COMPONENT-ONLY: existing cluster
+  *     memberships are pulled (as rep->member star edges) only for
+  *     clusters adjacent to a new duplicate edge; connected components
+  *     runs over new edges + those stars. Untouched clusters are never
+  *     read past the membership semi-join, and two old clusters bridged by
+  *     a new page merge correctly.
+  *   - Exact short-circuit first: a new page whose exact_hash matches the
+  *     old corpus (or another new page) attaches by a hash equi-join and
+  *     is never signed or banded — refetches cost one join, not a
+  *     signature pass.
+  *
+  * Config compatibility is enforced: signatures/bands are only comparable
+  * under the exact shingle/signature config that produced the old run, so
+  * ingest refuses an old run dir whose config marker differs.
+  *
+  * Outputs persist under `incDir` with the same marker/resume protocol as
+  * DedupPipeline.run; the returned assignment covers every AFFECTED
+  * component (one containing at least one new page), with old members
+  * included so sinks can upsert merged clusters atomically.
+  */
+object IncrementalDedup {
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stageDone(spark: SparkSession, dir: String, ch: String): Boolean = {
+    val f = fs(spark, dir)
+    f.exists(new Path(dir, "_SUCCESS")) && f.exists(new Path(dir, s"_graft_conf_$ch"))
+  }
+
+  private def markStage(spark: SparkSession, dir: String, ch: String): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(dir, s"_graft_conf_$ch"), true)
+    out.write(ch.getBytes("UTF-8")); out.close()
+  }
+
+  /** The old run must have been produced by the same signature config —
+    * cross-config signatures are not comparable. Checked via the stage
+    * marker DedupPipeline.run wrote next to 03_sig.
+    */
+  private def requireCompatible(spark: SparkSession, oldRunDir: String, ch: String): Unit = {
+    val ok = fs(spark, oldRunDir).exists(new Path(s"$oldRunDir/03_sig", s"_graft_conf_$ch"))
+    require(ok, s"old run at $oldRunDir was not produced by config $ch — " +
+      "incremental signatures would be incomparable (re-run the base pipeline or pass its config)")
+  }
+
+  def ingest(spark: SparkSession, oldRunDir: String, newPages: Dataset[Page],
+             incDir: String, conf: DedupConfig = DedupConfig.balanced,
+             resume: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val ch = conf.configHash
+    requireCompatible(spark, oldRunDir, ch)
+
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val dir = s"$incDir/$name"
+      if (resume && stageDone(spark, dir, ch)) spark.read.parquet(dir)
+      else {
+        compute.write.mode(SaveMode.Overwrite).parquet(dir)
+        markStage(spark, dir, ch)
+        spark.read.parquet(dir)
+      }
+    }
+
+    // ---- new-batch normalize + exact short-circuit ----
+    val newNormDf = stage("inc_01_norm") { DedupPipeline.normalizeStage(spark, newPages).toDF() }
+    val newNorm = newNormDf.as[DocNorm]
+    val newRepsDf = stage("inc_02_reps") { DedupPipeline.repMap(spark, newNorm) }
+
+    // old norm: column-pruned (url, exact_hash) — never the text
+    val oldHashes = spark.read.parquet(s"$oldRunDir/01_norm").select($"url", $"exact_hash")
+
+    // new rep -> lexicographically-min old url with the same exact hash
+    val exactAttachDf = stage("inc_exact_attach") {
+      newNorm.toDF().join(newRepsDf.filter($"url" === $"rep").select($"rep"), $"url" === $"rep")
+        .select($"url".as("new_url"), $"exact_hash".as("neh"))
+        .join(oldHashes, $"neh" === $"exact_hash")
+        .groupBy($"new_url").agg(min($"url").as("old_url"))
+    }
+
+    // only UNMATCHED new reps get signed/banded — exact refetches never
+    // reach the signature pass
+    val freshReps = newNorm.toDF()
+      .join(newRepsDf.filter($"url" === $"rep").select($"rep"), $"url" === $"rep")
+      .join(exactAttachDf.select($"new_url"), $"url" === $"new_url", "left_anti")
+      .drop("rep").as[DocNorm]
+
+    val newSigDf = stage("inc_03_sig") { DedupPipeline.signatureStage(spark, freshReps, conf).toDF() }
+    val newBandDf = stage("inc_04_bands") { DedupPipeline.bandingStage(spark, newSigDf.as[DocSig], conf).toDF() }
+
+    // ---- candidates: probe only buckets containing a new row ----
+    val candDf = stage("inc_05_cand") {
+      val newBuckets = newBandDf.groupBy($"band", $"bucket").agg(count(lit(1)).as("n_new"))
+      val oldBands = spark.read.parquet(s"$oldRunDir/04_bands")
+      val oldInNew = oldBands
+        .join(newBuckets.select($"band".as("nb"), $"bucket".as("nk")),
+          $"band" === $"nb" && $"bucket" === $"nk")
+        .select($"band", $"bucket", $"url")
+      val oldCounts = oldInNew.groupBy($"band", $"bucket").agg(count(lit(1)).as("n_old"))
+      // mega-bucket guard on the COMBINED size: a degenerate bucket is
+      // degenerate regardless of which side its members came from
+      val ok = newBuckets.join(oldCounts, Seq("band", "bucket"), "left")
+        .withColumn("total", $"n_new" + coalesce($"n_old", lit(0L)))
+        .filter($"total" <= conf.maxBucketSize)
+        .select($"band", $"bucket")
+      val nb = newBandDf.join(ok, Seq("band", "bucket")).select($"band", $"bucket", $"url")
+      val ob = oldInNew.join(ok, Seq("band", "bucket")).select($"band", $"bucket", $"url")
+      val intra = nb.select($"band", $"bucket", $"url".as("a"))
+        .join(nb.select($"band".as("b2"), $"bucket".as("k2"), $"url".as("b")),
+          $"band" === $"b2" && $"bucket" === $"k2" && $"a" < $"b")
+        .select($"a", $"b")
+      val cross = nb.select($"band", $"bucket", $"url".as("nu"))
+        .join(ob.select($"band".as("b2"), $"bucket".as("k2"), $"url".as("ou")),
+          $"band" === $"b2" && $"bucket" === $"k2")
+        .select(least($"nu", $"ou").as("a"), greatest($"nu", $"ou").as("b"))
+      val pairs = intra.union(cross).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"a").orderBy($"b")
+      pairs.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= conf.maxCandidatesPerDoc)
+        .select($"a", $"b")
+    }
+
+    // ---- verify: sigs/norm restricted to pair members (semi-joins) ----
+    val verdictDf = stage("inc_06_verdicts") {
+      val members = candDf.select($"a".as("url")).union(candDf.select($"b".as("url"))).distinct()
+      val oldSigs = spark.read.parquet(s"$oldRunDir/03_sig")
+        .join(members, Seq("url"), "left_semi")
+      val sigsU = newSigDf.unionByName(oldSigs).as[DocSig]
+      val oldNorm = spark.read.parquet(s"$oldRunDir/01_norm")
+        .join(members, Seq("url"), "left_semi")
+      val normU = newNormDf.unionByName(oldNorm).as[DocNorm]
+      DedupPipeline.verifyStage(spark, candDf.as[CandPair], sigsU, normU, conf).toDF()
+    }
+
+    // ---- touched-component clustering ----
+    stage("inc_07_assign") {
+      val dupEdges = verdictDf.filter($"final_label" === "DUPLICATE").select($"a", $"b")
+      val exactEdges = exactAttachDf.select($"old_url".as("a"), $"new_url".as("b"))
+      val newStars = DedupPipeline.exactEdges(spark, newRepsDf)
+      val edges = dupEdges.union(exactEdges).union(newStars)
+
+      val oldClusters = spark.read.parquet(s"$oldRunDir/07_clusters")
+      val endpoints = edges.select($"a".as("url")).union(edges.select($"b".as("url"))).distinct()
+      // clusters adjacent to any new edge, then ALL their members as
+      // rep->member stars (cluster_id is the component's min url)
+      val touched = oldClusters.join(endpoints, Seq("url"), "left_semi")
+        .select($"cluster_id").distinct()
+      val oldStars = oldClusters.join(touched, Seq("cluster_id"), "left_semi")
+        .filter($"url" =!= $"cluster_id")
+        .select($"cluster_id".as("a"), $"url".as("b"))
+
+      val comp = graft.cc.ConnectedComponents.run(spark, edges.union(oldStars))
+        .select($"url".as("m"), $"comp")
+      // attach new exact-group members through the new rep map; old urls
+      // and new reps are already vertices
+      val newMembers = newRepsDf.join(comp, $"rep" === $"m")
+        .select($"url", $"comp".as("cluster_id"))
+      val oldMembers = comp.select($"m".as("url"), $"comp".as("cluster_id"))
+        .join(newRepsDf.select($"url"), Seq("url"), "left_anti")
+      val assigned = newMembers.unionByName(oldMembers).distinct()
+      val newUrls = newNormDf.select($"url").withColumn("is_new", lit(true))
+      val sizes = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      assigned.join(sizes, "cluster_id")
+        .filter($"cluster_size" >= 2)
+        .join(newUrls, Seq("url"), "left")
+        .select($"url", $"cluster_id", $"cluster_size",
+          coalesce($"is_new", lit(false)).as("is_new"))
+    }
+  }
+}

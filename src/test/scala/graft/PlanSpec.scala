@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the EXPLAIN.md claims (pushdown, join
+  * strategy, no cartesian blowups, codegen coverage) as machine-checked
+  * assertions instead of prose. If an optimizer-visible regression sneaks
+  * into a hot path — a filter stops pushing, an LSH self-join degrades to
+  * a nested-loop cross product — these fail before any benchmark notices.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("projected+filtered parquet scan: filter pushed down, schema pruned") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en" && col("doc_id") > 100)
+      .select("doc_id", "n_chars")
+    val p = planOf(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(lang)") && p.contains("EqualTo(lang,en)") &&
+      p.contains("GreaterThan(doc_id,100)"), s"filters not pushed:\n$p")
+    // ReadSchema carries only the referenced columns, not text
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      !readSchema.contains("text"), s"schema not pruned: $readSchema")
+  }
+
+  test("LSH candidate paths never plan a cartesian / nested-loop join") {
+    val lsh = SparkEntry.queries("q_ngram_jaccard_lsh")(spark, sf)
+    val p = planOf(lsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH path degraded to a cross product:\n$p")
+  }
+
+  test("pipeline candidate stage: equi-join on bucket keys, no cartesian") {
+    import spark.implicits._
+    val rd = SparkEntry.pipelineRunDir(spark, sf)
+    val bands = spark.read.parquet(s"$rd/04_bands").as[graft.model.Schemas.BandRow]
+    val (cands, _) = graft.plans.DedupPipeline.candidateStage(spark, bands, DedupConfig.balanced)
+    val p = planOf(cands.toDF())
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage planned a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash/merge equi-join in candidate stage:\n$p")
+  }
+
+  test("small-dimension join broadcasts (label assignment)") {
+    val p = planOf(SparkEntry.queries("q_label_assign")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"small dim join did not broadcast:\n$p")
+  }
+
+  test("per-row scalar paths stay inside whole-stage codegen") {
+    // AQE's pre-execution plan doesn't carry codegen spans — execute THIS
+    // QueryExecution (collect, not count: count builds a separate one),
+    // then inspect the final plan (codegen spans appear there)
+    def finalPlan(df: DataFrame): String = { df.collect(); df.queryExecution.executedPlan.toString }
+    val p = finalPlan(SparkEntry.queries("q_url_canonical")(spark, sf))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen span:\n$p")
+    val q = finalPlan(SparkEntry.queries("q_quality_counts")(spark, sf))
+    assert(q.contains("WholeStageCodegen") || q.contains("*("), s"no codegen span:\n$q")
+  }
+
+  test("verify stage: no cartesian; shingle arrays join at most once per side") {
+    import spark.implicits._
+    val rd = SparkEntry.pipelineRunDir(spark, sf)
+    val norm = spark.read.parquet(s"$rd/01_norm").as[graft.model.Schemas.DocNorm]
+    val sigs = spark.read.parquet(s"$rd/03_sig").as[graft.model.Schemas.DocSig]
+    val cands = spark.read.parquet(s"$rd/05_cand").as[graft.model.Schemas.CandPair]
+    val verdicts = graft.plans.DedupPipeline.verifyStage(spark, cands, sigs, norm, DedupConfig.balanced)
+    val p = planOf(verdicts.toDF())
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verify stage planned a cross product:\n$p")
+  }
+}
