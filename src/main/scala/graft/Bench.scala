@@ -163,6 +163,19 @@ object ScalingBench {
       if (r == 0) p else p.copy(url = p.url + s"#r$r")))
   }
 
+
+  /** Scaling-bench config: SPARK_GRAFT_PREFILTER=1 turns on the verify
+    * MinHash-estimate prefilter (DedupConfig.estPrefilter Scaladoc) — the
+    * shuffle-byte knob whose payoff regime is exactly the multi-executor
+    * heavy-pair corpus this bench builds. Labels/clusters are asserted
+    * identical on/off (EntryQueriesSpec).
+    */
+  def benchConf: graft.DedupConfig = {
+    val base = DedupConfig.balanced
+    if (sys.env.get("SPARK_GRAFT_PREFILTER").contains("1")) base.copy(estPrefilter = true)
+    else base
+  }
+
   /** Build a session for an executor-JVM cluster emulation:
     * `local-cluster[workers,coresPerWorker,memMB]` — separate executor
     * JVMs on one box, the faithful proxy for the N-vs-4N-executors
@@ -225,15 +238,18 @@ object ScalingBench {
 
   def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,
                      variants: Int): (Long, Double) = {
+    // shuffle partitions = 4x total cores: multiple waves per stage pipeline
+    // shuffle fetch behind compute and keep reduce tasks spill-free on the
+    // fat verify exchanges; AQE coalesces small stages back down
     val spark = buildClusterSpark(workers, coresPerWorker,
-      sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker)
+      sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker * 4)
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
     val pages = buildPages(spark, sfDir, variants)
     val n = pages.count()
     val runDir = s"/tmp/graft_scaling_c${workers}x${coresPerWorker}_${System.nanoTime()}"
     val t0 = System.nanoTime()
-    DedupPipeline.run(spark, pages, runDir, DedupConfig.balanced, resume = false).count()
+    DedupPipeline.run(spark, pages, runDir, benchConf, resume = false).count()
     val sec = (System.nanoTime() - t0) / 1e9
     spark.stop()
     (n, sec)
@@ -247,7 +263,7 @@ object ScalingBench {
     val n = pages.count()
     val runDir = s"/tmp/graft_scaling_${cpus}_${System.nanoTime()}"
     val t0 = System.nanoTime()
-    DedupPipeline.run(spark, pages, runDir, DedupConfig.balanced, resume = false).count()
+    DedupPipeline.run(spark, pages, runDir, benchConf, resume = false).count()
     val sec = (System.nanoTime() - t0) / 1e9
     spark.stop()
     (n, sec)

@@ -64,7 +64,7 @@ object PipeProbe {
           sys.env.getOrElse("SPARK_GRAFT_VARIANTS", "2").toInt)
       else graft.pages.PagesSource.fromDocuments(spark, sfDir, variants = 2)
     val tPages = System.nanoTime()
-    val out = graft.plans.DedupPipeline.run(spark, pages, pipeDir)
+    val out = graft.plans.DedupPipeline.run(spark, pages, pipeDir, graft.ScalingBench.benchConf)
     val n = out.count()
     val tEnd = System.nanoTime()
 
