@@ -325,58 +325,54 @@ object DedupPipeline {
       }.toDF("url", "vec")
       // consumed by both pair sides — materialize so docs embed once
       .localCheckpoint()
-    val embScores = embPairsIn
-      .join(docEmb.select($"url".as("ea"), $"vec".as("va")).hint("SHUFFLE_HASH"), $"a" === $"ea")
-      .join(docEmb.select($"url".as("eb"), $"vec".as("vb")).hint("SHUFFLE_HASH"), $"b" === $"eb")
-      .select($"a", $"b", $"va", $"vb")
-      .as[(String, String, Array[Float], Array[Float])]
-      .map { case (a, b, va, vb) =>
-        val t0 = System.nanoTime()
-        val cos = CheapEmbed.cosine(va, vb)
-        embNanos.foreach(_.add(System.nanoTime() - t0))
-        (a, b, cos)
-      }.toDF("a", "b", "emb_cos")
-
-    // ---- span pass: text joins only for the span-budgeted pairs ----
+    // ---- one conditional-join pass for both per-pair learners ----
+    // Each side relation attaches ONLY where the pair needs it (the join
+    // condition carries do_emb / do_span), so pair rows ship exactly the
+    // vector and/or span-capped text they will read — same bytes as two
+    // separate passes, but one query: at the 15k-page local bench the
+    // two-pass + full_outer shape cost ~8 extra scheduling-bound jobs.
     // Texts are capped to spanMaxTextChars IN the projection, so the pair
-    // shuffle never carries bytes the suffix automaton won't read.
+    // shuffle never carries bytes the suffix automaton won't read. No
+    // explicit repartition on the automaton path: the pass is byte-normal
+    // (~0.2ms/pair), AQE's size-based partitioning spreads it fine — the
+    // old repartition(2x parallelism) round-tripped the full pair+text
+    // relation (2.8 GB at the 150k-page bench) to protect a CPU profile
+    // the suffix-array path no longer has (spanViaAutomaton=false keeps it).
     val na = norm.select($"url".as("na_url"),
       substring($"norm_text", 1, spanCap).as("a_text"))
     val nb = norm.select($"url".as("nb_url"),
       substring($"norm_text", 1, spanCap).as("b_text"))
-    // No explicit repartition: with the linear-time automaton the pass is
-    // byte-normal (~0.2ms per pair), so AQE's size-based partitioning
-    // spreads it fine — the old repartition(2x parallelism) round-tripped
-    // the full pair+text relation (2.8 GB at the 150k-page bench) through
-    // one more shuffle to protect a CPU profile the suffix-array path no
-    // longer has. The SA path (spanViaAutomaton=false) keeps it.
-    val spanPairsIn = subset.filter($"do_span").select($"a", $"b")
-    val spanJoined = spanPairsIn
-      .join(na.hint("SHUFFLE_HASH"), $"a" === $"na_url")
-      .join(nb.hint("SHUFFLE_HASH"), $"b" === $"nb_url")
-      .select($"a", $"b", $"a_text", $"b_text")
-      .as[(String, String, String, String)]
-    val spanBase =
-      if (conf.spanViaAutomaton) spanJoined
-      else spanJoined.repartition(spark.sparkContext.defaultParallelism * 2)
-    val spanScores = spanBase
+    val withSides = subset
+      .join(docEmb.select($"url".as("ea"), $"vec".as("va")).hint("SHUFFLE_HASH"),
+        $"a" === $"ea" && $"do_emb", "left")
+      .join(docEmb.select($"url".as("eb"), $"vec".as("vb")).hint("SHUFFLE_HASH"),
+        $"b" === $"eb" && $"do_emb", "left")
+      .join(na.hint("SHUFFLE_HASH"), $"a" === $"na_url" && $"do_span", "left")
+      .join(nb.hint("SHUFFLE_HASH"), $"b" === $"nb_url" && $"do_span", "left")
+      .select($"a", $"b", $"do_emb", $"do_span", $"va", $"vb", $"a_text", $"b_text")
+      .as[(String, String, Boolean, Boolean, Array[Float], Array[Float], String, String)]
+    val heavyBase =
+      if (conf.spanViaAutomaton) withSides
+      else withSides.repartition(spark.sparkContext.defaultParallelism * 2)
+    val heavy: DataFrame = heavyBase
       .mapPartitions { it =>
         val useAutomaton = conf.spanViaAutomaton
         val ws = if (useAutomaton) null else new SuffixLCS.Workspace(2 * spanCap + 1)
         val wsAuto = if (useAutomaton) new graft.sa.SuffixAutomaton.Workspace(spanCap) else null
-        it.map { case (a, b, at, bt) =>
+        it.map { case (a, b, doEmb, doSpan, va, vb, at, bt) =>
           val t0 = System.nanoTime()
-          val span =
+          val cos = if (doEmb) Some(CheapEmbed.cosine(va, vb)) else None
+          val t1 = System.nanoTime()
+          val span = if (doSpan) {
             if (useAutomaton) graft.sa.SuffixAutomaton.lcs(at, bt, wsAuto)
             else SuffixLCS.longestCommonSubstring(at, bt, ws)
-          spanNanos.foreach(_.add(System.nanoTime() - t0))
-          (a, b, span)
+          } else 0
+          val t2 = System.nanoTime()
+          embNanos.foreach(_.add(t1 - t0))
+          spanNanos.foreach(_.add(t2 - t1))
+          (a, b, cos, span)
         }
-      }.toDF("a", "b", "shared_span_len")
-
-    val heavy: DataFrame = embScores
-      .join(spanScores, Seq("a", "b"), "full_outer")
-      .select($"a".as("ha"), $"b".as("hb"), $"emb_cos", $"shared_span_len")
+      }.toDF("ha", "hb", "emb_cos", "shared_span_len")
 
     val thrEmb = conf.thrEmbedCosine
     val spanDup = conf.spanAsDuplicate
