@@ -12,6 +12,8 @@ object Bench {
 
   def buildSpark(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
+    // SPARK_GRAFT_CODEC=zstd|lz4 for the shuffle-compression A/B
+    .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -171,9 +173,11 @@ object ScalingBench {
     * identical on/off (EntryQueriesSpec).
     */
   def benchConf: graft.DedupConfig = {
-    val base = DedupConfig.balanced
-    if (sys.env.get("SPARK_GRAFT_PREFILTER").contains("1")) base.copy(estPrefilter = true)
-    else base
+    var base = DedupConfig.balanced
+    if (sys.env.get("SPARK_GRAFT_PREFILTER").contains("1")) base = base.copy(estPrefilter = true)
+    // SPARK_GRAFT_COGROUP=0 forces the join dataflow for A/B measurement
+    sys.env.get("SPARK_GRAFT_COGROUP").foreach(v => base = base.copy(verifyCoGroup = v == "1"))
+    base
   }
 
   /** Build a session for an executor-JVM cluster emulation:
@@ -192,6 +196,7 @@ object ScalingBench {
       "java.base/sun.util.calendar").map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
     SparkSession.builder()
       .master(s"local-cluster[$workers,$coresPerWorker,$memMb]")
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

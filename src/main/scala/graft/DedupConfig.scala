@@ -33,6 +33,13 @@ final case class DedupConfig(
     // ---- candidate generation / skew handling ----
     maxCandidatesPerDoc: Int = 2000, // near_duplicate.py:36
     maxBucketSize: Int = 2000,       // ours: mega-bucket guard (logged drop)
+    // Per-DOMAIN candidate cap — the skew axis q_domain_stats measures: a
+    // single template-heavy domain (forum mirrors, listing pages) can
+    // flood the candidate set even when every per-doc/per-bucket guard
+    // holds. Opt-in (None = off, zero extra passes): when set, each
+    // domain keeps its first `cap` pairs by (a, b) via a salted two-phase
+    // top-k (no single-task sort of a flooded domain), drops logged.
+    maxCandidatesPerDomain: Option[Int] = None,
     // ---- suffix-array shared-span pass (north-rule addition) ----
     spanPassEnabled: Boolean = true,
     spanMinChars: Int = 200,         // span length reported as "long"
@@ -62,6 +69,28 @@ final case class DedupConfig(
     estPrefilter: Boolean = false,
     estSkipLow: Double = 0.40,
     estSkipHigh: Double = 0.97,
+    // ---- verify-stage pair-scoring dataflow (scale knob) ----
+    // The join dataflow's second pair join re-shuffles the stream side WITH
+    // the first side's shingle array attached — one array copy PER PAIR
+    // crosses the wire (the dominant verify exchange term once pairs/doc is
+    // high: measured ~27 GB at the 450k-page bench, vs ~2 per DOC for the
+    // signature relations themselves). verifyCoGroup replaces the two pair
+    // joins with a partition-aware cogroup: pairs hash-route by `a`, each
+    // needed doc payload ships ONCE per (doc, distinct target partition),
+    // and pairs are scored in-partition against a local doc map — array
+    // bytes scale with docs x partitions-touched, never with pairs.
+    // Verdict-identical to the join dataflow (VerifyCoGroupSpec).
+    verifyCoGroup: Boolean = false,
+    // ---- checkpoint durability (cluster-deployment knob) ----
+    // localCheckpoint blocks live only on executors: on a real multi-
+    // executor cluster an executor loss AFTER the checkpoint makes the
+    // lineage-truncated job unrecoverable. true switches every pipeline
+    // localCheckpoint (verify pair relation, doc embeddings, CC rounds) to
+    // reliable checkpoint() against spark.sparkContext.getCheckpointDir
+    // (must be set — HDFS/object store in production). Default false: in
+    // local/sandbox mode executor==driver, and localCheckpoint avoids the
+    // per-round filesystem round-trip.
+    reliableCheckpoints: Boolean = false,
     // ---- misc ----
     seed: Long = 13L,                // base.py:146
     // Participates in configHash via toString: bump whenever a stage's

@@ -64,10 +64,17 @@ object SparkEntry {
       col("source"), lit(".Example.org"),
       when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
       lit("/p/"), g.cast("string"),
+      // percent-encoding classes (keyed on g so the canonical stays a
+      // function of (source, g)): an unreserved-encoded segment that
+      // DECODES (`%7e` -> `~`, `%61` -> `a`) and a reserved `%2f` whose
+      // hex only CASE-normalizes to `%2F`
+      when(g % 4 === 2, lit("/%7euser")).otherwise(lit("")),
+      when(g % 9 === 5, lit("/%61rchive")).otherwise(lit("")),
       when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
       lit("?"),
       when(col("doc_id") % 2 === 0, lit("utm_source=feed&")).otherwise(lit("")),
       when(g % 3 === 1, lit("z=9&")).otherwise(lit("")),
+      when(g % 6 === 3, lit("p=x%2fy&")).otherwise(lit("")),
       lit("id="), (g % 13).cast("string"),
       when(g % 3 === 1, lit("&a=1")).otherwise(lit("")),
       when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
@@ -409,6 +416,7 @@ object SparkEntry {
     "q_url_canonical" -> ((s, dir) => {
       // URL canonicalization (UrlOps.canonicalUrl Scaladoc) over planted
       // messy fetch URLs; DuckDB recomputes the whole chain independently.
+      graft.expr.UrlPctNormalize.register(s)
       messyUrls(s, dir)
         .select(col("doc_id"), col("url"),
           graft.text.UrlOps.canonicalUrl(col("url")).as("canon_url"))
@@ -418,6 +426,7 @@ object SparkEntry {
       // URL-level dup grouping: refetch variants collapse to one canonical
       // URL; groups >1 are the WARC-refetch duplicate class (removable
       // before any content pass — a projection + one groupBy shuffle).
+      graft.expr.UrlPctNormalize.register(s)
       messyUrls(s, dir)
         .select(graft.text.UrlOps.canonicalUrl(col("url")).as("canon_url"), col("doc_id"))
         .groupBy(col("canon_url"))
@@ -746,14 +755,63 @@ object SparkEntry {
       "(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' || " +
       "(CASE WHEN (doc_id % 50) % 5 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.org' || " +
       "(CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) || " +
-      "'/p/' || CAST(doc_id % 50 AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || " +
+      "'/p/' || CAST(doc_id % 50 AS VARCHAR) || " +
+      "(CASE WHEN (doc_id % 50) % 4 = 2 THEN '/%7euser' ELSE '' END) || " +
+      "(CASE WHEN (doc_id % 50) % 9 = 5 THEN '/%61rchive' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || " +
       "'?' || " +
       "(CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END) || " +
       "(CASE WHEN (doc_id % 50) % 3 = 1 THEN 'z=9&' ELSE '' END) || " +
+      "(CASE WHEN (doc_id % 50) % 6 = 3 THEN 'p=x%2fy&' ELSE '' END) || " +
       "'id=' || CAST((doc_id % 50) % 13 AS VARCHAR) || " +
       "(CASE WHEN (doc_id % 50) % 3 = 1 THEN '&a=1' ELSE '' END) || " +
       "(CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url " +
       "FROM documents"
+
+  /** DuckDB mirror of graft.expr.UrlPctNormalize as a GENERATED replace
+    * chain over the finite percent-sequence sets: first every `%xy` with a
+    * lowercase hex letter is case-normalized to `%XY`, then every
+    * UNRESERVED `%XY` (ALPHA / DIGIT / - . _ ~) is decoded. The decode
+    * phase runs in DESCENDING hex-value order: a decode output can only
+    * complete a %-token of value >= the forming pattern's (hex digits
+    * decode from 0x30-0x39/0x41-0x46; a formed token `%hX` has value
+    * 16*h + hexval(X) >= chr-value of X whenever it is unreserved), so
+    * descending order guarantees no later replace re-scans a formed token
+    * — matching the expression's single-pass no-rescan semantics.
+    */
+  private val pctPairs: Seq[(String, String)] = {
+    val hexChars = "0123456789abcdefABCDEF"
+    val caseNorm = for {
+      c1 <- hexChars; c2 <- hexChars
+      if c1.isLower || c2.isLower
+    } yield (s"%$c1$c2", s"%${c1.toUpper}${c2.toUpper}")
+    val unreserved = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~')).map(_.toInt)
+    val decode = unreserved.sorted(Ordering[Int].reverse).map { v =>
+      (f"%%$v%02X", v.toChar.toString.replace("'", "''"))
+    }
+    (caseNorm ++ decode).toSeq
+  }
+
+  /** The replace chain split into <=80-deep chunked CTEs (DuckDB's binder
+    * caps expression recursion at 128). Returns ("c0 AS (...), c1 AS
+    * (...), ...", finalCteName); each CTE passes `passCols` through and
+    * carries the progressively-normalized url as `nurl`.
+    */
+  private def pctNormalizeCtes(src: String, urlCol: String, passCols: Seq[String],
+                               prefix: String): (String, String) = {
+    val chunks = pctPairs.grouped(80).toList
+    var cur = src
+    var colExpr = urlCol
+    val ctes = chunks.zipWithIndex.map { case (chunk, i) =>
+      val name = s"$prefix$i"
+      val expr = chunk.foldLeft(colExpr) { case (acc, (f, t)) => s"replace($acc, '$f', '$t')" }
+      val sel = (passCols :+ s"$expr AS nurl").mkString(", ")
+      val cte = s"$name AS (SELECT $sel FROM $cur)"
+      cur = name; colExpr = "nurl"
+      cte
+    }
+    (ctes.mkString(", "), cur)
+  }
 
   /** Shared CTE fragment: per-distinct-score (pos, tot) + cumulative counts
     * over strictly-smaller scores — the DuckDB mirror of
@@ -885,6 +943,24 @@ object SparkEntry {
       "FROM d ORDER BY pair_key"
   }
 
+  /** Pipeline-oracle constants DERIVED from the config the pipeline
+    * queries actually run (DedupConfig.balanced): a config change now
+    * changes the oracle SQL with it — or trips the requires below — instead
+    * of silently diverging the oracle from the engine (round-3 ADVICE).
+    */
+  private val oraConf = DedupConfig.balanced
+  require(!oraConf.spanAsDuplicate,
+    "pipeline oracles omit the span-rescue disjunct: extend q_dedup_verdicts/q_ingest_near_dup before enabling spanAsDuplicate")
+  require(!oraConf.estPrefilter,
+    "pipeline oracles recompute EXACT jaccard for every pair: the estPrefilter skip band would diverge")
+  private val oBucket = oraConf.maxBucketSize
+  private val oCap = oraConf.maxCandidatesPerDoc
+  private val oVotes = oraConf.requiredVotes
+  private val oThrSim = s"${oraConf.thrSimhash}::DOUBLE"
+  private val oThrMin = s"${oraConf.thrMinhash}::DOUBLE"
+  private val oThrEmb = s"${oraConf.thrEmbedCosine}::DOUBLE"
+  private val oBits = s"${oraConf.simhashBits.toDouble}::DOUBLE"
+
   /** Oracle SQL parameterized by the sf dir — Verify dumps
     * oracleSqlFor(actual sfDir) so the stage-parquet paths match the run.
     */
@@ -976,11 +1052,13 @@ object SparkEntry {
         "SELECT doc_id, s['pos'] AS pos, s['token'] AS token FROM " +
         "(SELECT doc_id, unnest(list_transform(toks, (x, i) -> {'pos': CAST(i - 1 AS BIGINT), 'token': x})) AS s FROM b) " +
         "ORDER BY doc_id, pos"),
-    "q_url_canonical" ->
-      (s"WITH u AS ($messyUrlSql), " +
+    "q_url_canonical" -> {
+      val (pctCtes, pctFinal) = pctNormalizeCtes("u0", "url", Seq("doc_id", "n_chars", "url"), "pn")
+      s"WITH u0 AS ($messyUrlSql), $pctCtes, " +
+        s"u AS (SELECT doc_id, n_chars, url, nurl FROM $pctFinal), " +
         "c AS (SELECT doc_id, url, " +
-        "regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
-        "regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM u), " +
+        "regexp_extract(nurl, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
+        "regexp_replace(nurl, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM u), " +
         "d AS (SELECT doc_id, url, " +
         "regexp_replace(regexp_replace(lower(rawauth), '^(https://[^/?#:]*):443$', '\\1'), '^(http://[^/?#:]*):80$', '\\1') AS auth, " +
         "regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path, " +
@@ -989,9 +1067,12 @@ object SparkEntry {
         "array_to_string(list_sort(list_filter(string_split(q, '&'), " +
         "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$'))), '&') AS sq FROM d) " +
         "SELECT doc_id, url, auth || path || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canon_url " +
-        "FROM e ORDER BY doc_id"),
-    "q_url_dup_groups" ->
-      (s"WITH u AS ($messyUrlSql), " +
+        "FROM e ORDER BY doc_id"
+    },
+    "q_url_dup_groups" -> {
+      val (pctCtes, pctFinal) = pctNormalizeCtes("u0", "url", Seq("doc_id"), "pn")
+      s"WITH u0 AS ($messyUrlSql), $pctCtes, " +
+        s"u AS (SELECT doc_id, nurl AS url FROM $pctFinal), " +
         "c AS (SELECT doc_id, url, " +
         "regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
         "regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM u), " +
@@ -1003,13 +1084,14 @@ object SparkEntry {
         "(SELECT doc_id, auth, path, array_to_string(list_sort(list_filter(string_split(q, '&'), " +
         "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$'))), '&') AS sq FROM d)) " +
         "SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc FROM e " +
-        "GROUP BY canon_url HAVING COUNT(*) > 1 ORDER BY canon_url"),
+        "GROUP BY canon_url HAVING COUNT(*) > 1 ORDER BY canon_url"
+    },
     "q_domain_stats" ->
       (s"WITH u AS ($messyUrlSql), " +
         "h AS (SELECT doc_id, n_chars, regexp_replace(" +
         "regexp_extract(lower(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), " +
         "'^www\\.', '') AS domain FROM u) " +
-        "SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM h " +
+        "SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM h " +
         "GROUP BY domain ORDER BY domain"),
     "q_lang_id" -> {
       val markerSql = TextOps.Markers.map { case (lang, set) =>
@@ -1104,12 +1186,12 @@ object SparkEntry {
     "q_lsh_candidates" ->
       (s"WITH bands AS (SELECT band, bucket, url FROM ${bandsPq(dir)}), " +
         "ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket " +
-        "HAVING count(*) >= 2 AND count(*) <= 2000), " +
+        s"HAVING count(*) >= 2 AND count(*) <= $oBucket), " +
         "bx AS (SELECT b.band, b.bucket, b.url FROM bands b JOIN ok o ON b.band = o.band AND b.bucket = o.bucket), " +
         "pairs AS (SELECT DISTINCT l.url AS a, r.url AS b FROM bx l JOIN bx r " +
         "ON l.band = r.band AND l.bucket = r.bucket AND l.url < r.url), " +
         "capped AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs) " +
-        "SELECT a, b FROM capped WHERE rn <= 2000 ORDER BY a, b"),
+        s"SELECT a, b FROM capped WHERE rn <= $oCap ORDER BY a, b"),
     // Verdicts recomputed from the signature stage: exact = exact-hash
     // equality, jaccard = |A∩B|/|A∪B| over the persisted hashed shingle
     // sets (list_intersect), hamming = bit_count(xor(...)), and the full
@@ -1128,19 +1210,19 @@ object SparkEntry {
         "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b), " +
         "s AS (SELECT a, b, exact, " +
         "CASE WHEN nab - i = 0 THEN 0.0::DOUBLE ELSE CAST(i AS DOUBLE) / CAST(nab - i AS DOUBLE) END AS jaccard, " +
-        "hamming, greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / 128.0::DOUBLE) AS sim_sim FROM j), " +
+        s"hamming, greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / $oBits) AS sim_sim FROM j), " +
         s"e AS (SELECT a, b, emb_cos FROM ${verdictsPq(dir)}), " +
         "v AS (SELECT s.a, s.b, s.exact, s.jaccard, s.hamming, s.sim_sim, " +
-        "COALESCE(e.emb_cos >= 0.988::DOUBLE OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= 0.988::DOUBLE, false) AS vote_emb " +
+        s"COALESCE(e.emb_cos >= $oThrEmb OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= $oThrEmb, false) AS vote_emb " +
         "FROM s LEFT JOIN e ON e.a = s.a AND e.b = s.b), " +
         "w AS (SELECT *, CAST(CASE WHEN exact THEN 3 ELSE " +
-        "(CASE WHEN sim_sim >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN jaccard >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN sim_sim >= $oThrSim THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN jaccard >= $oThrMin THEN 1 ELSE 0 END) + " +
         "(CASE WHEN vote_emb THEN 1 ELSE 0 END) END AS INTEGER) AS votes FROM v) " +
         "SELECT CASE WHEN a <= b THEN a || '||' || b ELSE b || '||' || a END AS pair_key, " +
         "exact, jaccard, hamming, sim_sim, votes, " +
-        "CASE WHEN exact OR votes >= 2 THEN 'DUPLICATE' ELSE 'NON_DUPLICATE' END AS final_label, " +
-        "CASE WHEN exact THEN 'EXACT' WHEN votes >= 2 THEN 'NEAR' ELSE NULL END AS dup_kind " +
+        s"CASE WHEN exact OR votes >= $oVotes THEN 'DUPLICATE' ELSE 'NON_DUPLICATE' END AS final_label, " +
+        s"CASE WHEN exact THEN 'EXACT' WHEN votes >= $oVotes THEN 'NEAR' ELSE NULL END AS dup_kind " +
         "FROM w ORDER BY pair_key"),
     // Clusters recomputed end-to-end: connected components over the
     // DUPLICATE edges via a recursive CTE (min reachable url = the same
@@ -1172,7 +1254,7 @@ object SparkEntry {
         "JOIN (SELECT DISTINCT band, bucket FROM nb) k ON k.band = o.band AND k.bucket = o.bucket), " +
         "sizes AS (SELECT band, bucket, count(*) AS total FROM " +
         "(SELECT band, bucket, url FROM nb UNION ALL SELECT band, bucket, url FROM obk) GROUP BY band, bucket), " +
-        "ok AS (SELECT band, bucket FROM sizes WHERE total <= 2000), " +
+        s"ok AS (SELECT band, bucket FROM sizes WHERE total <= $oBucket), " +
         "nbo AS (SELECT nb.band, nb.bucket, nb.url FROM nb JOIN ok ON ok.band = nb.band AND ok.bucket = nb.bucket), " +
         "obo AS (SELECT obk.band, obk.bucket, obk.url FROM obk JOIN ok ON ok.band = obk.band AND ok.bucket = obk.bucket), " +
         "intra AS (SELECT x.url AS a, y.url AS b FROM nbo x JOIN nbo y " +
@@ -1180,7 +1262,7 @@ object SparkEntry {
         "crossp AS (SELECT least(n.url, o.url) AS a, greatest(n.url, o.url) AS b FROM nbo n JOIN obo o " +
         "ON n.band = o.band AND n.bucket = o.bucket), " +
         "pairs0 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM intra UNION ALL SELECT a, b FROM crossp)), " +
-        "cand AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs0) WHERE rn <= 2000), " +
+        s"cand AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs0) WHERE rn <= $oCap), " +
         s"sig AS (SELECT url, exact_hash, shingles, simhash_hi, simhash_lo FROM ${incPq(dir, "inc_03_sig")} " +
         s"UNION ALL SELECT url, exact_hash, shingles, simhash_hi, simhash_lo FROM ${sigPq(dir)}), " +
         "j AS (SELECT c.a, c.b, (x.exact_hash = y.exact_hash) AS exact, " +
@@ -1190,14 +1272,14 @@ object SparkEntry {
         "FROM cand c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b), " +
         "sc AS (SELECT a, b, exact, " +
         "CASE WHEN nab - i = 0 THEN 0.0::DOUBLE ELSE CAST(i AS DOUBLE) / CAST(nab - i AS DOUBLE) END AS jaccard, " +
-        "greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / 128.0::DOUBLE) AS sim_sim FROM j), " +
+        s"greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / $oBits) AS sim_sim FROM j), " +
         s"e AS (SELECT a, b, emb_cos FROM ${incPq(dir, "inc_06_verdicts")}), " +
         "w AS (SELECT sc.a, sc.b, sc.exact, " +
-        "(CASE WHEN sc.sim_sim >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN sc.jaccard >= 0.75::DOUBLE THEN 1 ELSE 0 END) + " +
-        "(CASE WHEN COALESCE(e.emb_cos >= 0.988::DOUBLE OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= 0.988::DOUBLE, false) THEN 1 ELSE 0 END) AS votes " +
+        s"(CASE WHEN sc.sim_sim >= $oThrSim THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN sc.jaccard >= $oThrMin THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN COALESCE(e.emb_cos >= $oThrEmb OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= $oThrEmb, false) THEN 1 ELSE 0 END) AS votes " +
         "FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.b), " +
-        "dup AS (SELECT a, b FROM w WHERE exact OR votes >= 2), " +
+        s"dup AS (SELECT a, b FROM w WHERE exact OR votes >= $oVotes), " +
         s"xatt AS (SELECT min(o.url) AS a, n.url AS b FROM ${incPq(dir, "inc_01_norm")} n " +
         s"JOIN ${incPq(dir, "inc_02_reps")} r ON r.url = n.url AND r.url = r.rep " +
         s"JOIN ${normPq(dir)} o ON o.exact_hash = n.exact_hash GROUP BY n.url), " +

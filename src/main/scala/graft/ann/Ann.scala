@@ -74,15 +74,8 @@ object Ann {
     val banded = (0 until bands).map { b =>
       base.withColumn("band", lit(b)).withColumn("bucket", hyperplaneSql(dim, bitsPerBand, b, "vec"))
     }.reduce(_ union _)
-    val sizes = banded.groupBy($"band", $"bucket").count()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = sizes.filter($"count" > maxBucketSize).count()
-    if (dropped > 0)
-      System.err.println(s"[graft.ann] dropped $dropped mega-buckets (> $maxBucketSize members)")
-    spark.sparkContext.setLocalProperty("graft.ann.droppedBuckets", dropped.toString)
-    val ok = sizes.filter($"count" >= 2 && $"count" <= maxBucketSize)
-      .select($"band".as("okband"), $"bucket".as("okbucket"))
-    val bx = banded.join(ok, $"band" === $"okband" && $"bucket" === $"okbucket")
+    val g = graft.lsh.BucketGuard.okBuckets(spark, banded, maxBucketSize, "ann")
+    val bx = banded.join(g.ok, Seq("band", "bucket"))
       .select($"band", $"bucket", $"id", $"vec")
     val l = bx.select($"band", $"bucket", $"id".as("a"), $"vec".as("va"))
     val r = bx.select($"band".as("band2"), $"bucket".as("bucket2"), $"id".as("b"), $"vec".as("vb"))

@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with string columns (a, b), undirected.
+    * @param reliable use durable checkpoint() (requires a configured
+    *        checkpoint dir) instead of localCheckpoint for the per-round
+    *        lineage truncation — executor-loss-safe on real clusters.
     * @return DataFrame (url, comp) where comp = lexicographic min url of
     *         the component. Covers only vertices incident to an edge.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
+          reliable: Boolean = false): DataFrame = {
     import spark.implicits._
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires spark.sparkContext.setCheckpointDir(<durable dir>)")
+    def ck(df: DataFrame): DataFrame = if (reliable) df.checkpoint() else df.localCheckpoint()
 
     // Partition count scales with the edge relation (~64k edges per task)
     // but never drops below ~parallelism/4: a small dup-edge set on a big
@@ -43,11 +50,11 @@ object ConnectedComponents {
       .union(edges.select($"b".as("u"), $"a".as("v")))
       .distinct()
       .repartition(ccParts, $"u")
-      .localCheckpoint()
+      .transform(ck)
 
     var labels = sym.select($"u".as("url")).distinct()
       .withColumn("comp", $"url")
-      .localCheckpoint()
+      .transform(ck)
 
     var converged = false
     var iter = 0
@@ -68,7 +75,7 @@ object ConnectedComponents {
           least(agg("comp"), coalesce($"ccomp", agg("comp"))).as("comp"),
           $"prev")
 
-      val next = step2.localCheckpoint()
+      val next = ck(step2)
       val changed = next.filter($"comp" =!= $"prev").limit(1).count()
       labels = next.select($"url", $"comp")
       converged = changed == 0

@@ -89,5 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(JaccardSorted.name),
       new ExpressionInfo(classOf[JaccardSorted].getName, JaccardSorted.name),
       JaccardSorted.builder))
+    ext.injectFunction((FunctionIdentifier(UrlPctNormalize.name),
+      new ExpressionInfo(classOf[UrlPctNormalize].getName, UrlPctNormalize.name),
+      UrlPctNormalize.builder))
   }
 }

@@ -38,6 +38,17 @@ object DedupPipeline {
 
   final val ShingleHashSeed = 0x5EED5EEDL
 
+  /** Materialize a reused relation: localCheckpoint by default (blocks on
+    * executors, reclaimed by the ContextCleaner), reliable checkpoint()
+    * when conf.reliableCheckpoints — see the DedupConfig field Scaladoc.
+    */
+  private[graft] def ckpt(spark: SparkSession, df: DataFrame, conf: DedupConfig): DataFrame =
+    if (conf.reliableCheckpoints) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints=true requires spark.sparkContext.setCheckpointDir(<durable dir>)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   // ---------- per-doc pure functions ----------
 
   def normalizeDoc(url: String, text: String, lang: String): DocNorm = {
@@ -117,13 +128,10 @@ object DedupPipeline {
     */
   def candidateStage(spark: SparkSession, bands: Dataset[BandRow], conf: DedupConfig): (Dataset[CandPair], Long) = {
     import spark.implicits._
-    val sizes = bands.groupBy($"band", $"bucket").count()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = sizes.filter($"count" > conf.maxBucketSize).count()
-    val ok = sizes.filter($"count" >= 2 && $"count" <= conf.maxBucketSize)
-      .select($"band".as("jband"), $"bucket".as("jbucket"))
-    val bx = bands.toDF().join(ok, $"band" === $"jband" && $"bucket" === $"jbucket")
+    val g = graft.lsh.BucketGuard.okBuckets(spark, bands.toDF(), conf.maxBucketSize, "pipeline")
+    val bx = bands.toDF().join(g.ok, Seq("band", "bucket"))
       .select($"band", $"bucket", $"url")
+    val dropped = g.dropped
     val left = bx.select($"band", $"bucket", $"url".as("a"))
     val right = bx.select($"band".as("band2"), $"bucket".as("bucket2"), $"url".as("b"))
     val pairs = left.join(right,
@@ -134,8 +142,51 @@ object DedupPipeline {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"a").orderBy($"b")
     val capped = pairs.withColumn("rn", row_number().over(w))
       .filter($"rn" <= conf.maxCandidatesPerDoc)
-      .select($"a", $"b").as[CandPair]
-    (capped, dropped)
+      .select($"a", $"b")
+    (domainCap(spark, capped, conf).as[CandPair], dropped)
+  }
+
+  /** Optional per-DOMAIN candidate cap (DedupConfig.maxCandidatesPerDomain)
+    * — bounds the pairs a single template-heavy domain can contribute.
+    * Deterministic (first `cap` pairs by (a, b) per domain of `a`) and
+    * skew-safe: flooded domains are capped with a salted two-phase top-k,
+    * so no task ever sorts more than ~64 x cap rows even when one domain
+    * holds billions of pairs; unflooded domains bypass the windows
+    * entirely via an anti-join on the (tiny) flooded-domain set.
+    */
+  private def domainCap(spark: SparkSession, pairs: DataFrame, conf: DedupConfig): DataFrame = {
+    import spark.implicits._
+    conf.maxCandidatesPerDomain match {
+      case None => pairs
+      case Some(cap) =>
+        val withDom = pairs.withColumn("dom", graft.text.UrlOps.hostOf($"a"))
+        val domCounts = withDom.groupBy($"dom").count()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val droppedPairs = domCounts.filter($"count" > cap)
+          .agg(coalesce(sum($"count" - cap), lit(0L))).first().getLong(0)
+        if (droppedPairs > 0)
+          System.err.println(s"[graft.pipeline] per-domain cap $cap dropped " +
+            s"$droppedPairs candidate pairs (flooded domains)")
+        spark.sparkContext.setLocalProperty("graft.pipeline.droppedDomainPairs",
+          droppedPairs.toString)
+        val flooded = domCounts.filter($"count" > cap).select($"dom")
+        val okPairs = withDom.join(broadcast(flooded), Seq("dom"), "left_anti")
+        val floodPairs = withDom.join(broadcast(flooded), Seq("dom"), "left_semi")
+        val salts = 64
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"dom", $"salt").orderBy($"a", $"b")
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"dom").orderBy($"a", $"b")
+        // phase 1 keeps each salt's first `cap` by (a,b): every pair in the
+        // domain's global first `cap` survives (its in-salt rank <= its
+        // global rank), so phase 2 reproduces the exact unsalted top-cap
+        // over <= salts x cap rows per domain.
+        val kept = floodPairs
+          .withColumn("salt", pmod(xxhash64($"a", $"b"), lit(salts)))
+          .withColumn("r1", row_number().over(w1)).filter($"r1" <= cap)
+          .withColumn("r2", row_number().over(w2)).filter($"r2" <= cap)
+        okPairs.select($"a", $"b").unionByName(kept.select($"a", $"b"))
+    }
   }
 
   /** url -> exact-group representative (lexicographic min url of the
@@ -192,7 +243,9 @@ object DedupPipeline {
     val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
       bit_count($"a_lo".bitwiseXOR($"b_lo"))).as("hamming")
 
-    val scored: DataFrame = if (!conf.estPrefilter) {
+    val scored: DataFrame = if (conf.verifyCoGroup && !conf.estPrefilter) {
+      coGroupScore(spark, cands, sigs, conf)
+    } else if (!conf.estPrefilter) {
       // Default: single pair join carrying the shingle arrays once.
       // Measured faster whenever the estimate-skip fraction is low or the
       // pairs side is broadcastable (every sandbox corpus; see
@@ -241,11 +294,11 @@ object DedupPipeline {
             $"a_nsh" === 0 || $"b_nsh" === 0))
         .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
           $"need_exact_j", $"a_nsh", $"b_nsh")
-        // narrow pairs-sized relation (~100B/row); localCheckpoint lets the
+        // narrow pairs-sized relation (~100B/row); checkpointing lets the
         // two branches split WITHOUT re-running the pair join (and, unlike
-        // persist, its blocks are reclaimed by the ContextCleaner when the
-        // plan goes out of scope — no session-lifetime cache leak per run)
-        .localCheckpoint()
+        // persist, local blocks are reclaimed by the ContextCleaner when
+        // the plan goes out of scope — no session-lifetime cache leak)
+        .transform(d => ckpt(spark, d, conf))
       val ja = sigs.select($"url".as("ja_url"), $"shingles".as("ja_sh"))
       val jb = sigs.select($"url".as("jb_url"), $"shingles".as("jb_sh"))
       val skipBranch = pre.filter(!$"need_exact_j")
@@ -264,18 +317,18 @@ object DedupPipeline {
     }
 
     // base is consumed by FOUR subtrees (span subset, emb subset, the
-    // final left join, and the window budget): localCheckpoint materializes
+    // final left join, and the window budget): checkpointing materializes
     // the pair join ONCE as this narrow fixed-width relation (~100 B/row).
     // Without it each consumer re-runs the array-carrying join — measured
-    // as three separate 2.4 GB map stages at the 150k-page bench. Blocks
-    // are reclaimed by the ContextCleaner when the plan goes out of scope.
-    val base = scored
+    // as three separate 2.4 GB map stages at the 150k-page bench. Local
+    // blocks are reclaimed by the ContextCleaner when the plan goes out of
+    // scope; reliableCheckpoints switches to durable checkpoint().
+    val base = ckpt(spark, scored
       .withColumn("vote_sim", $"sim_sim" >= conf.thrSimhash)
       .withColumn("vote_min", $"jaccard" >= conf.thrMinhash)
       .withColumn("votes_base", $"vote_sim".cast("int") + $"vote_min".cast("int"))
       .select($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim",
-        $"vote_sim", $"vote_min", $"votes_base")
-      .localCheckpoint()
+        $"vote_sim", $"vote_min", $"votes_base"), conf)
 
     val need = conf.requiredVotes
 
@@ -313,9 +366,13 @@ object DedupPipeline {
     // independent and is the only shape that survives a real embedding
     // model at corpus scale.
     val embPairsIn = subset.filter($"do_emb").select($"a", $"b")
+    // cheap emptiness probe over the checkpointed base: when no pair needs
+    // the embedding tiebreak (common under high-threshold configs), skip
+    // the eager docEmb materialization job entirely
+    val anyEmbPairs = !embPairsIn.isEmpty
     val embUrls = embPairsIn.select($"a".as("url"))
       .union(embPairsIn.select($"b".as("url"))).distinct()
-    val docEmb = embUrls.join(norm.select($"url", $"norm_text"), "url")
+    val docEmbLazy = embUrls.join(norm.select($"url", $"norm_text"), "url")
       .as[(String, String)]
       .map { case (u, t) =>
         val t0 = System.nanoTime()
@@ -323,8 +380,8 @@ object DedupPipeline {
         embNanos.foreach(_.add(System.nanoTime() - t0))
         (u, v)
       }.toDF("url", "vec")
-      // consumed by both pair sides — materialize so docs embed once
-      .localCheckpoint()
+    // consumed by both pair sides — materialize so docs embed once
+    val docEmb = if (anyEmbPairs) ckpt(spark, docEmbLazy, conf) else docEmbLazy
     // ---- one conditional-join pass for both per-pair learners ----
     // Each side relation attaches ONLY where the pair needs it (the join
     // condition carries do_emb / do_span), so pair rows ship exactly the
@@ -412,6 +469,80 @@ object DedupPipeline {
       .as[Verdict]
   }
 
+  /** Partition-aware pair scorer (DedupConfig.verifyCoGroup) — the same
+    * (a, b, exact, jaccard, jaccard_est, hamming, sim_sim) relation as the
+    * join dataflow, with array shuffle bytes decoupled from PAIR count.
+    *
+    * Dataflow: pairs hash-route to partition pid(a); the needed doc
+    * payloads (exact hash, sorted hashed shingles, simhash words) ship
+    * once per DISTINCT (doc, target-partition) — computed as a distinct
+    * (url, part) need-set joined once against the signature relation —
+    * and one groupByKey co-locates payloads with pairs, which are scored
+    * in-partition against a hash map of the local payload slice (the same
+    * memory a SHUFFLE_HASH build side would hold; pairs buffer narrow at
+    * ~100 B/row until the map is complete, since group iterator order is
+    * unspecified).
+    *
+    * Why: in the join dataflow the second pair join re-shuffles pairs WITH
+    * the first doc's shingle array attached — one array copy per PAIR.
+    * At pairs/doc >> partitions (the heavy web regime: 15.8M pairs over
+    * 450k docs at the scaling bench) that term dominates every exchange;
+    * here a doc's array crosses the wire at most (1 + partitions touched
+    * by its pairs) times regardless of how many pairs it is in.
+    */
+  private def coGroupScore(spark: SparkSession, cands: Dataset[CandPair],
+                           sigs: Dataset[DocSig], conf: DedupConfig): DataFrame = {
+    import spark.implicits._
+    // Route keys >> reducer count: with nKeys == reducers, balls-in-bins
+    // puts 3-4 whole route-groups on one reducer (~3x stage skew). A 16x
+    // key space costs almost nothing extra — a doc's a-side pairs all
+    // share ONE key regardless (pid depends only on a), and its b-side
+    // duplication is bounded by its pair degree, not by the key count —
+    // while letting the hash spread groups evenly over reducers.
+    val nParts = spark.sessionState.conf.numShufflePartitions * 16
+    val bits = conf.simhashBits
+    def pidCol(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(nParts)).cast("int")
+
+    val sigSlim = sigs.toDF()
+      .select($"url", $"exact_hash", $"shingles", $"simhash_hi", $"simhash_lo")
+    val need = cands.toDF().select($"a".as("url"), pidCol($"a").as("part"))
+      .union(cands.toDF().select($"b".as("url"), pidCol($"a").as("part")))
+      .distinct()
+    // one array shuffle: payloads keyed by url meet the need-set, then
+    // route to their target partitions (|need| rows, not |pairs|)
+    val shipped = need.join(sigSlim.hint("SHUFFLE_HASH"), "url")
+      .select($"part", $"url", $"exact_hash", $"shingles",
+        $"simhash_hi", $"simhash_lo", lit(null).cast("string").as("b"))
+    val pairRows = cands.toDF().select(pidCol($"a").as("part"), $"a".as("url"),
+      lit(null).cast("string").as("exact_hash"),
+      lit(null).cast("array<bigint>").as("shingles"),
+      lit(0L).as("simhash_hi"), lit(0L).as("simhash_lo"), $"b")
+    val all = shipped.unionByName(pairRows)
+      .as[(Int, String, String, Array[Long], Long, Long, String)]
+    all.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val docs = new java.util.HashMap[String, (String, Array[Long], Long, Long)]()
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      it.foreach {
+        case (_, url, eh, sh, hi, lo, null) => docs.put(url, (eh, sh, hi, lo))
+        case (_, a, _, _, _, _, b) => pending += ((a, b))
+      }
+      pending.iterator.flatMap { case (a, b) =>
+        val da = docs.get(a)
+        val db = docs.get(b)
+        if (da == null || db == null) Iterator.empty // mirror the inner join
+        else {
+          val ham = java.lang.Long.bitCount(da._3 ^ db._3) +
+            java.lang.Long.bitCount(da._4 ^ db._4)
+          Iterator.single((a, b, da._1 == db._1,
+            graft.sig.MinHashSig.jaccardSorted(da._2, db._2), ham))
+        }
+      }
+    }.toDF("a", "b", "exact", "jaccard", "hamming")
+      .withColumn("jaccard_est", lit(false))
+      .withColumn("sim_sim", greatest(lit(0.0), lit(1.0) - $"hamming" / lit(bits.toDouble)))
+      .select($"a", $"b", $"exact", $"jaccard", $"jaccard_est", $"hamming", $"sim_sim")
+  }
+
   /** Stage 6: clustering. CC runs ONLY over the rep-level near-duplicate
     * edges (tiny compared to the corpus); exact members then attach to
     * their rep's component with one join — equivalent to CC over
@@ -419,10 +550,11 @@ object DedupPipeline {
     * Cluster id = min member url; singletons excluded
     * (near_duplicate.py:364-371).
     */
-  def clusterStage(spark: SparkSession, verdicts: Dataset[Verdict], reps: DataFrame): DataFrame = {
+  def clusterStage(spark: SparkSession, verdicts: Dataset[Verdict], reps: DataFrame,
+                   conf: DedupConfig = DedupConfig.balanced): DataFrame = {
     import spark.implicits._
     val nearEdges = verdicts.filter($"final_label" === "DUPLICATE").select($"a", $"b")
-    val repComp = ConnectedComponents.run(spark, nearEdges)
+    val repComp = ConnectedComponents.run(spark, nearEdges, reliable = conf.reliableCheckpoints)
       .select($"url".as("rep2"), $"comp")
     val assigned = reps.join(repComp, $"rep" === $"rep2", "left")
       .select($"url", coalesce($"comp", $"rep").as("cluster_id"))
@@ -526,7 +658,7 @@ object DedupPipeline {
       spark.sparkContext.setLocalProperty("graft.spanWallMs", (spanAcc.value / 1000000L).toString)
 
     val clusters = stage("07_clusters") {
-      clusterStage(spark, verdictDf.as[Verdict], repsDf)
+      clusterStage(spark, verdictDf.as[Verdict], repsDf, conf)
     }
 
     writeMetricsSnapshot(spark, runDir, runId, ch, verdictDf, clusters)

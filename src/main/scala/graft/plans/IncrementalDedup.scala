@@ -37,9 +37,31 @@ import org.apache.spark.sql.functions._
   * ingest refuses an old run dir whose config marker differs.
   *
   * Outputs persist under `incDir` with the same marker/resume protocol as
-  * DedupPipeline.run; the returned assignment covers every AFFECTED
+  * DedupPipeline.run — except that the incremental markers also carry a
+  * BATCH token (row count + order-independent xxh64 content hash of the
+  * new batch), so re-running against the same incDir with a DIFFERENT
+  * batch recomputes instead of silently returning the previous batch's
+  * persisted stages. The returned assignment covers every AFFECTED
   * component (one containing at least one new page), with old members
   * included so sinks can upsert merged clusters atomically.
+  *
+  * Known divergences from a full recompute, both logged when they fire:
+  *
+  *   - Per-doc candidate cap: the cap is applied over INCREMENTAL pairs
+  *     only, while a full recompute caps over all pairs of the union
+  *     corpus — a doc at the cap can keep a slightly different candidate
+  *     subset. Exact equivalence holds strictly below the cap
+  *     (IncrementalDedupSpec corpora are far below it).
+  *   - Mega-bucket guard boundary: a bucket that crosses maxBucketSize
+  *     only once the new batch lands is dropped for NEW pairs, but the
+  *     old-old verdicts the base run already made inside it are kept —
+  *     a full recompute would drop those too.
+  *
+  * Each ingest dedups against exactly ONE old run. For a continuously
+  * crawled corpus, fold each batch forward with [[compact]] —
+  * `ingest(B1) -> compact -> ingest(B2) -> compact -> ...` — so batch
+  * N+1 dedups against base ∪ B1..N (two-step equivalence proven in
+  * IncrementalDedupSpec).
   */
 object IncrementalDedup {
 
@@ -67,19 +89,33 @@ object IncrementalDedup {
       "incremental signatures would be incomparable (re-run the base pipeline or pass its config)")
   }
 
+  /** Order-independent identity of the new batch (row count + xor of
+    * per-row xxh64) — part of the incremental stage markers so a resume
+    * only fires for the SAME batch, not merely the same config.
+    */
+  private def batchToken(spark: SparkSession, pages: Dataset[Page]): String = {
+    import spark.implicits._
+    val r = pages.toDF()
+      .select(xxhash64($"url", coalesce($"text", lit(""))).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).first()
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    f"${r.getLong(0)}%x_$x%016x"
+  }
+
   def ingest(spark: SparkSession, oldRunDir: String, newPages: Dataset[Page],
              incDir: String, conf: DedupConfig = DedupConfig.balanced,
              resume: Boolean = true): DataFrame = {
     import spark.implicits._
     val ch = conf.configHash
     requireCompatible(spark, oldRunDir, ch)
+    val marker = s"${ch}_b${batchToken(spark, newPages)}"
 
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val dir = s"$incDir/$name"
-      if (resume && stageDone(spark, dir, ch)) spark.read.parquet(dir)
+      if (resume && stageDone(spark, dir, marker)) spark.read.parquet(dir)
       else {
         compute.write.mode(SaveMode.Overwrite).parquet(dir)
-        markStage(spark, dir, ch)
+        markStage(spark, dir, marker)
         spark.read.parquet(dir)
       }
     }
@@ -112,20 +148,16 @@ object IncrementalDedup {
 
     // ---- candidates: probe only buckets containing a new row ----
     val candDf = stage("inc_05_cand") {
-      val newBuckets = newBandDf.groupBy($"band", $"bucket").agg(count(lit(1)).as("n_new"))
+      val nbAll = newBandDf.select($"band", $"bucket", $"url")
+      val newKeys = nbAll.select($"band", $"bucket").distinct()
       val oldBands = spark.read.parquet(s"$oldRunDir/04_bands")
-      val oldInNew = oldBands
-        .join(newBuckets.select($"band".as("nb"), $"bucket".as("nk")),
-          $"band" === $"nb" && $"bucket" === $"nk")
+      val oldInNew = oldBands.join(newKeys, Seq("band", "bucket"), "left_semi")
         .select($"band", $"bucket", $"url")
-      val oldCounts = oldInNew.groupBy($"band", $"bucket").agg(count(lit(1)).as("n_old"))
-      // mega-bucket guard on the COMBINED size: a degenerate bucket is
-      // degenerate regardless of which side its members came from
-      val ok = newBuckets.join(oldCounts, Seq("band", "bucket"), "left")
-        .withColumn("total", $"n_new" + coalesce($"n_old", lit(0L)))
-        .filter($"total" <= conf.maxBucketSize)
-        .select($"band", $"bucket")
-      val nb = newBandDf.join(ok, Seq("band", "bucket")).select($"band", $"bucket", $"url")
+      // mega-bucket guard on the COMBINED size (shared impl): a degenerate
+      // bucket is degenerate regardless of which side its members came from
+      val ok = graft.lsh.BucketGuard
+        .okBuckets(spark, nbAll.unionByName(oldInNew), conf.maxBucketSize, "inc").ok
+      val nb = nbAll.join(ok, Seq("band", "bucket")).select($"band", $"bucket", $"url")
       val ob = oldInNew.join(ok, Seq("band", "bucket")).select($"band", $"bucket", $"url")
       val intra = nb.select($"band", $"bucket", $"url".as("a"))
         .join(nb.select($"band".as("b2"), $"bucket".as("k2"), $"url".as("b")),
@@ -137,8 +169,18 @@ object IncrementalDedup {
         .select(least($"nu", $"ou").as("a"), greatest($"nu", $"ou").as("b"))
       val pairs = intra.union(cross).distinct()
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"a").orderBy($"b")
-      pairs.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= conf.maxCandidatesPerDoc)
+      val withRn = DedupPipeline.ckpt(spark, pairs.withColumn("rn", row_number().over(w)), conf)
+      // cap-boundary divergence from full recompute (object Scaladoc) —
+      // mirror the mega-bucket logged-drop convention when it fires
+      val cappedDocs = withRn.filter($"rn" > conf.maxCandidatesPerDoc)
+        .select($"a").distinct().count()
+      if (cappedDocs > 0) {
+        System.err.println(s"[graft.IncrementalDedup] $cappedDocs docs hit " +
+          s"maxCandidatesPerDoc=${conf.maxCandidatesPerDoc} during ingest — " +
+          "candidate sets for those docs may differ from a full recompute")
+        spark.sparkContext.setLocalProperty("graft.inc.cappedDocs", cappedDocs.toString)
+      }
+      withRn.filter($"rn" <= conf.maxCandidatesPerDoc)
         .select($"a", $"b")
     }
 
@@ -171,7 +213,8 @@ object IncrementalDedup {
         .filter($"url" =!= $"cluster_id")
         .select($"cluster_id".as("a"), $"url".as("b"))
 
-      val comp = graft.cc.ConnectedComponents.run(spark, edges.union(oldStars))
+      val comp = graft.cc.ConnectedComponents
+        .run(spark, edges.union(oldStars), reliable = conf.reliableCheckpoints)
         .select($"url".as("m"), $"comp")
       // attach new exact-group members through the new rep map; old urls
       // and new reps are already vertices
@@ -188,5 +231,51 @@ object IncrementalDedup {
         .select($"url", $"cluster_id", $"cluster_size",
           coalesce($"is_new", lit(false)).as("is_new"))
     }
+  }
+
+  /** Fold an ingest's incremental outputs FORWARD into a complete
+    * ingest-compatible run layout at `outRunDir` (01_norm, 03_sig,
+    * 04_bands, 07_clusters + config markers), so the NEXT batch dedups
+    * against base ∪ batch — the continuous-crawl steady state:
+    * `ingest(B1) -> compact -> ingest(B2) -> ...`.
+    *
+    * The first three stages are plain unions (inc_03_sig/inc_04_bands hold
+    * only the batch's FRESH reps — exact-refetch pages were never signed
+    * and correctly stay out of the signature corpus; they remain reachable
+    * through the merged 01_norm hash column). Clusters merge by component:
+    * every old cluster touched by the ingest is replaced wholesale by its
+    * merged assignment (inc_07_assign covers all members of affected
+    * components), untouched old clusters are kept as-is.
+    *
+    * The output is for [[ingest]] chaining, not a DedupPipeline.run resume
+    * dir (02_reps/05_cand/06_verdicts are per-run artifacts and are not
+    * folded).
+    */
+  def compact(spark: SparkSession, oldRunDir: String, incDir: String, outRunDir: String,
+              conf: DedupConfig = DedupConfig.balanced): Unit = {
+    import spark.implicits._
+    val ch = conf.configHash
+    requireCompatible(spark, oldRunDir, ch)
+    require(outRunDir != oldRunDir && outRunDir != incDir,
+      s"compact writes a new run layout — outRunDir must differ from oldRunDir/incDir ($outRunDir)")
+
+    def fold(stage: String, incName: String): Unit = {
+      val merged = spark.read.parquet(s"$oldRunDir/$stage")
+        .unionByName(spark.read.parquet(s"$incDir/$incName"))
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$outRunDir/$stage")
+      markStage(spark, s"$outRunDir/$stage", ch)
+    }
+    fold("01_norm", "inc_01_norm")
+    fold("03_sig", "inc_03_sig")
+    fold("04_bands", "inc_04_bands")
+
+    val oldC = spark.read.parquet(s"$oldRunDir/07_clusters")
+    val incA = spark.read.parquet(s"$incDir/inc_07_assign")
+      .select($"url", $"cluster_id", $"cluster_size")
+    val touched = oldC.join(incA.select($"url"), Seq("url"), "left_semi")
+      .select($"cluster_id").distinct()
+    val kept = oldC.join(touched, Seq("cluster_id"), "left_anti")
+    kept.unionByName(incA).write.mode(SaveMode.Overwrite).parquet(s"$outRunDir/07_clusters")
+    markStage(spark, s"$outRunDir/07_clusters", ch)
   }
 }

@@ -49,17 +49,9 @@ object TokenLsh {
         (bd, XXH64.hashLongs(mh, bd * r, bd * r + r, bd.toLong), id))
     }.toDF("band", "bucket", "id")
 
-    // mega-bucket guard (logged drop count); the >= 2 side also prunes
-    // singleton buckets before the join
-    val sizes = bandRows.groupBy($"band", $"bucket").count()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = sizes.filter($"count" > maxBucketSize).count()
-    if (dropped > 0)
-      System.err.println(s"[graft.TokenLsh] dropped $dropped mega-buckets (> $maxBucketSize members)")
-    spark.sparkContext.setLocalProperty(DroppedBucketsProp, dropped.toString)
-    val ok = sizes.filter($"count" >= 2 && $"count" <= maxBucketSize)
-      .select($"band".as("okband"), $"bucket".as("okbucket"))
-    val bx = bandRows.join(ok, $"band" === $"okband" && $"bucket" === $"okbucket")
+    // mega-bucket guard — shared implementation (graft.lsh.BucketGuard)
+    val g = graft.lsh.BucketGuard.okBuckets(spark, bandRows, maxBucketSize, "tokenLsh")
+    val bx = bandRows.join(g.ok, Seq("band", "bucket"))
       .select($"band", $"bucket", $"id")
 
     val l = bx.select($"band", $"bucket", $"id".as("a"))

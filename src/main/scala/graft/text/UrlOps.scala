@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * `q_url_dup_groups` (SparkEntry.oracleSql).
   *
   * Canonical form, applied in order:
+  *   0. percent-encoding normalized (graft.expr.UrlPctNormalize — a
+  *      native single-pass expression: unreserved `%XY` decoded, all
+  *      other hex uppercased; applied first because decoding unreserved
+  *      octets can never introduce a delimiter). The session must have
+  *      the function registered (UrlPctNormalize.register /
+  *      spark.sql.extensions=graft.expr.GraftExtensions).
   *   1. scheme and host (authority) lowercased
   *   2. default ports stripped (`:443` for https, `:80` for http)
   *   3. fragment dropped
@@ -33,7 +39,8 @@ object UrlOps {
   private val TrackingRe = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$"
 
   /** Canonical URL as a Column expression over a string URL column. */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(rawUrl: Column): Column = {
+    val url = call_function(graft.expr.UrlPctNormalize.name, rawUrl)
     // authority = scheme://host[:port] (everything before path/query/frag)
     val rawAuth = regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     val authLower = lower(rawAuth)

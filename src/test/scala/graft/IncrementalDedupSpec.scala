@@ -69,6 +69,67 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("two-batch chain: ingest -> compact -> ingest == full recompute") {
+    import spark.implicits._
+    val (pages, _) = graft.pages.PagesSource.syntheticCorpus(spark, nFamilies = 20, membersPerFamily = 5)
+    def m(u: String) = u.split("/m")(1).toInt
+    val basePages = pages.filter(p => m(p.url) < 2)
+    val b1 = pages.filter(p => m(p.url) == 2 || m(p.url) == 3)
+    val b2 = pages.filter(p => m(p.url) == 4)
+
+    val conf = DedupConfig.balanced
+    val baseDir = freshDir("chain_base")
+    graft.plans.DedupPipeline.run(spark, basePages, baseDir, conf, resume = false)
+    val inc1 = freshDir("chain_inc1")
+    graft.plans.IncrementalDedup.ingest(spark, baseDir, b1, inc1, conf)
+    val comp1 = freshDir("chain_comp1")
+    graft.plans.IncrementalDedup.compact(spark, baseDir, inc1, comp1, conf)
+    val inc2 = freshDir("chain_inc2")
+    graft.plans.IncrementalDedup.ingest(spark, comp1, b2, inc2, conf)
+    val comp2 = freshDir("chain_comp2")
+    graft.plans.IncrementalDedup.compact(spark, comp1, inc2, comp2, conf)
+
+    val chained = spark.read.parquet(s"$comp2/07_clusters")
+      .select($"url", $"cluster_id", $"cluster_size")
+      .as[(String, String, Long)].collect().toSet
+
+    val fullDir = freshDir("chain_full")
+    graft.plans.DedupPipeline.run(spark, pages, fullDir, conf, resume = false)
+    val full = spark.read.parquet(s"$fullDir/07_clusters")
+      .select($"url", $"cluster_id", $"cluster_size")
+      .as[(String, String, Long)].collect().toSet
+
+    assert(chained.nonEmpty)
+    assert(chained == full,
+      s"chained=${chained.size} full=${full.size}; " +
+        s"only-chained=${(chained -- full).take(5)}, only-full=${(full -- chained).take(5)}")
+  }
+
+  test("re-running ingest with a different batch in the same incDir recomputes (batch marker)") {
+    import spark.implicits._
+    val (pages, _) = graft.pages.PagesSource.syntheticCorpus(spark, nFamilies = 8, membersPerFamily = 4)
+    def m(u: String) = u.split("/m")(1).toInt
+    val basePages = pages.filter(p => m(p.url) < 2)
+    val b1 = pages.filter(p => m(p.url) == 2)
+    val b2 = pages.filter(p => m(p.url) == 3)
+
+    val conf = DedupConfig.balanced
+    val baseDir = freshDir("bmark_base")
+    graft.plans.DedupPipeline.run(spark, basePages, baseDir, conf, resume = false)
+    val incDir = freshDir("bmark_inc")
+    graft.plans.IncrementalDedup.ingest(spark, baseDir, b1, incDir, conf)
+    val normB1 = spark.read.parquet(s"$incDir/inc_01_norm").select($"url")
+      .as[String].collect().toSet
+    assert(normB1 == b1.map(_.url).collect().toSet)
+
+    // SAME incDir, DIFFERENT batch: stages must recompute, not resume
+    graft.plans.IncrementalDedup.ingest(spark, baseDir, b2, incDir, conf)
+    val normB2 = spark.read.parquet(s"$incDir/inc_01_norm").select($"url")
+      .as[String].collect().toSet
+    assert(normB2 == b2.map(_.url).collect().toSet,
+      "stale previous-batch stages were returned instead of recomputing")
+  }
+
   test("config-mismatched old run is refused") {
     import spark.implicits._
     val (pages, _) = graft.pages.PagesSource.syntheticCorpus(spark, nFamilies = 4, membersPerFamily = 2)

@@ -59,6 +59,28 @@ class ResumeSpec extends AnyFunSuite {
     assert(new File(s"$dir/07_clusters/_SUCCESS").exists())
   }
 
+  test("reliableCheckpoints=true produces identical clusters via durable checkpoint()") {
+    val dir = "/tmp/graft_test_resume_reliable"
+    val ckDir = "/tmp/graft_test_ckpt_dir"
+    TestUtil.deleteRecursively(new File(dir))
+    TestUtil.deleteRecursively(new File(ckDir))
+
+    val base = DedupPipeline.run(spark, pagesDs, s"$dir/local", DedupConfig.balanced, resume = false)
+      .collect().map(_.toString).sorted
+
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val conf = DedupConfig.balanced.copy(reliableCheckpoints = true)
+      val reliable = DedupPipeline.run(spark, pagesDs, s"$dir/reliable", conf, resume = false)
+        .collect().map(_.toString).sorted
+      assert(reliable.toSeq == base.toSeq)
+      // the durable dir was actually used
+      val ck = new File(ckDir)
+      assert(Option(ck.listFiles()).exists(_.nonEmpty), "no RDD was checkpointed to the durable dir")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("config change invalidates stage outputs") {
     val dir = "/tmp/graft_test_resume_conf"
     TestUtil.deleteRecursively(new File(dir))

@@ -13,6 +13,7 @@ class UrlOpsSpec extends AnyFunSuite {
 
   private def canon(urls: Seq[String]): Seq[String] = {
     import spark.implicits._
+    graft.expr.UrlPctNormalize.register(spark)
     urls.toDF("url")
       .select(graft.text.UrlOps.canonicalUrl(col("url")).as("c"))
       .as[String].collect().toSeq
@@ -42,7 +43,15 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://h.example/a//" -> "https://h.example/a",
       "https://h.example/" -> "https://h.example",
       // query+fragment on a slashed path
-      "HTTP://H.example:80/p/?b=2&a=1#s" -> "http://h.example/p?a=1&b=2")
+      "HTTP://H.example:80/p/?b=2&a=1#s" -> "http://h.example/p?a=1&b=2",
+      // percent-encoding: unreserved decoded (either hex case)...
+      "https://h.example/%7euser" -> "https://h.example/~user",
+      "https://h.example/%7Euser" -> "https://h.example/~user",
+      "https://h.example/%61%42c" -> "https://h.example/aBc",
+      // ...reserved stays encoded with UPPERCASE hex
+      "https://h.example/a%2fb?q=%3d1" -> "https://h.example/a%2Fb?q=%3D1",
+      // malformed sequences copy through untouched
+      "https://h.example/100%zz?p=%4" -> "https://h.example/100%zz?p=%4")
     val got = canon(cases.map(_._1))
     cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach { case ((exp, g), in) =>
       assert(g == exp, s"for $in")
@@ -51,6 +60,7 @@ class UrlOpsSpec extends AnyFunSuite {
 
   test("canonicalUrl is idempotent on the planted corpus") {
     import spark.implicits._
+    graft.expr.UrlPctNormalize.register(spark)
     val u = SparkEntry.queries("q_url_canonical")(spark, sf)
     val twice = u.select(col("canon_url"),
       graft.text.UrlOps.canonicalUrl(col("canon_url")).as("c2"))
