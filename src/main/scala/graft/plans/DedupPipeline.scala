@@ -382,12 +382,36 @@ object DedupPipeline {
       }.toDF("url", "vec")
     // consumed by both pair sides — materialize so docs embed once
     val docEmb = if (anyEmbPairs) ckpt(spark, docEmbLazy, conf) else docEmbLazy
-    // ---- one conditional-join pass for both per-pair learners ----
-    // Each side relation attaches ONLY where the pair needs it (the join
-    // condition carries do_emb / do_span), so pair rows ship exactly the
-    // vector and/or span-capped text they will read — same bytes as two
-    // separate passes, but one query: at the 15k-page local bench the
-    // two-pass + full_outer shape cost ~8 extra scheduling-bound jobs.
+    // ---- two INDEPENDENT per-pair passes, each ending narrow ----
+    // Round 3 ran one conditional-join chain for both learners (vectors and
+    // span texts attached in four consecutive SHUFFLE_HASH joins, one
+    // mapPartitions). That cascade re-ships every earlier payload through
+    // every later exchange: by the span joins each emb pair carried
+    // va+vb (2 x embedDim floats = 3 kB) plus a span-capped text — at the
+    // 450k-page cluster bench those were the two dominant stages (16 + 19 GB
+    // of shuffle, 58.8 GB total, PipeProbe 2026-08-17). Splitting the paths
+    // means each pair ships only the payload its own learner reads, and
+    // each pass ends in a fixed-width (a, b, score) relation, so the fat
+    // bytes cross exactly ONE exchange (the second side join feeds the
+    // map in the same stage). Costs one extra narrow join onto `base` +
+    // a few scheduling-bound jobs — noise at any corpus size against
+    // tens of GB of exchange traffic. Results are bit-identical: same
+    // per-pair math, same left-join-onto-base semantics.
+    val embScored: DataFrame = embPairsIn
+      .join(docEmb.select($"url".as("ea"), $"vec".as("va")).hint("SHUFFLE_HASH"),
+        $"a" === $"ea")
+      .join(docEmb.select($"url".as("eb"), $"vec".as("vb")).hint("SHUFFLE_HASH"),
+        $"b" === $"eb")
+      .select($"a", $"b", $"va", $"vb")
+      .as[(String, String, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (a, b, va, vb) =>
+          val t0 = System.nanoTime()
+          val cos = CheapEmbed.cosine(va, vb)
+          embNanos.foreach(_.add(System.nanoTime() - t0))
+          (a, b, cos)
+        }
+      }.toDF("ea_", "eb_", "emb_cos")
     // Texts are capped to spanMaxTextChars IN the projection, so the pair
     // shuffle never carries bytes the suffix automaton won't read. No
     // explicit repartition on the automaton path: the pass is byte-normal
@@ -399,43 +423,36 @@ object DedupPipeline {
       substring($"norm_text", 1, spanCap).as("a_text"))
     val nb = norm.select($"url".as("nb_url"),
       substring($"norm_text", 1, spanCap).as("b_text"))
-    val withSides = subset
-      .join(docEmb.select($"url".as("ea"), $"vec".as("va")).hint("SHUFFLE_HASH"),
-        $"a" === $"ea" && $"do_emb", "left")
-      .join(docEmb.select($"url".as("eb"), $"vec".as("vb")).hint("SHUFFLE_HASH"),
-        $"b" === $"eb" && $"do_emb", "left")
-      .join(na.hint("SHUFFLE_HASH"), $"a" === $"na_url" && $"do_span", "left")
-      .join(nb.hint("SHUFFLE_HASH"), $"b" === $"nb_url" && $"do_span", "left")
-      .select($"a", $"b", $"do_emb", $"do_span", $"va", $"vb", $"a_text", $"b_text")
-      .as[(String, String, Boolean, Boolean, Array[Float], Array[Float], String, String)]
-    val heavyBase =
-      if (conf.spanViaAutomaton) withSides
-      else withSides.repartition(spark.sparkContext.defaultParallelism * 2)
-    val heavy: DataFrame = heavyBase
+    val spanWithTexts = subset.filter($"do_span").select($"a", $"b")
+      .join(na.hint("SHUFFLE_HASH"), $"a" === $"na_url")
+      .join(nb.hint("SHUFFLE_HASH"), $"b" === $"nb_url")
+      .select($"a", $"b", $"a_text", $"b_text")
+      .as[(String, String, String, String)]
+    val spanBase =
+      if (conf.spanViaAutomaton) spanWithTexts
+      else spanWithTexts.repartition(spark.sparkContext.defaultParallelism * 2)
+    val spanScored: DataFrame = spanBase
       .mapPartitions { it =>
         val useAutomaton = conf.spanViaAutomaton
         val ws = if (useAutomaton) null else new SuffixLCS.Workspace(2 * spanCap + 1)
         val wsAuto = if (useAutomaton) new graft.sa.SuffixAutomaton.Workspace(spanCap) else null
-        it.map { case (a, b, doEmb, doSpan, va, vb, at, bt) =>
+        it.map { case (a, b, at, bt) =>
           val t0 = System.nanoTime()
-          val cos = if (doEmb) Some(CheapEmbed.cosine(va, vb)) else None
-          val t1 = System.nanoTime()
-          val span = if (doSpan) {
+          val span =
             if (useAutomaton) graft.sa.SuffixAutomaton.lcs(at, bt, wsAuto)
             else SuffixLCS.longestCommonSubstring(at, bt, ws)
-          } else 0
-          val t2 = System.nanoTime()
-          embNanos.foreach(_.add(t1 - t0))
-          spanNanos.foreach(_.add(t2 - t1))
-          (a, b, cos, span)
+          spanNanos.foreach(_.add(System.nanoTime() - t0))
+          (a, b, span)
         }
-      }.toDF("ha", "hb", "emb_cos", "shared_span_len")
+      }.toDF("sa_", "sb_", "shared_span_len")
 
     val thrEmb = conf.thrEmbedCosine
     val spanDup = conf.spanAsDuplicate
     val spanMin = conf.spanMinChars
 
-    val joined = base.join(heavy, $"a" === $"ha" && $"b" === $"hb", "left")
+    val joined = base
+      .join(embScored, $"a" === $"ea_" && $"b" === $"eb_", "left")
+      .join(spanScored, $"a" === $"sa_" && $"b" === $"sb_", "left")
       .withColumn("shared_span_len", coalesce($"shared_span_len", lit(0)))
       // Embedding vote (arbiter.py:260-320, uncalibrated): backstop
       // cos >= cosine_threshold OR (cos+1)/2 >= cosine_threshold.
