@@ -243,11 +243,17 @@ object ScalingBench {
 
   def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,
                      variants: Int): (Long, Double) = {
-    // shuffle partitions = 4x total cores: multiple waves per stage pipeline
-    // shuffle fetch behind compute and keep reduce tasks spill-free on the
-    // fat verify exchanges; AQE coalesces small stages back down
+    // Shuffle partitions = 1x total cores (SPARK_GRAFT_SHUF_MULT overrides).
+    // Round 3 used 4x to pipeline shuffle fetch behind compute and keep
+    // reduce tasks spill-free on the then-fat verify exchanges; after the
+    // round-4 emb/span pass split those exchanges shrank ~4x and the 4x
+    // multiplier only multiplied the per-stage task floor across the
+    // pipeline's ~60 stages — measured 99.3s vs 53.2s at the identical
+    // 150k-page 4x4 cluster (BENCH/BASELINE.md round 4).
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SHUF_MULT", "1").toInt
     val spark = buildClusterSpark(workers, coresPerWorker,
-      sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt, workers * coresPerWorker * 4)
+      sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "6144").toInt,
+      workers * coresPerWorker * mult)
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
     val pages = buildPages(spark, sfDir, variants)

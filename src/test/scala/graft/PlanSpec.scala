@@ -79,4 +79,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"verify stage planned a cross product:\n$p")
   }
+
+  test("verify stage: no exchange mixes embedding vectors with span texts") {
+    // The round-4 emb/span pass split as a machine-checked invariant: the
+    // round-3 cascade shipped each pair's vectors through the span-text
+    // joins' exchanges (16 + 19 GB of the 58.8 GB shuffle at the 450k-page
+    // cluster bench). After the split, a shuffle exchange may carry doc
+    // vectors OR span-capped texts, never both — if a future refactor
+    // re-chains the passes, this fails before any benchmark notices.
+    import spark.implicits._
+    val rd = SparkEntry.pipelineRunDir(spark, sf)
+    val norm = spark.read.parquet(s"$rd/01_norm").as[graft.model.Schemas.DocNorm]
+    val sigs = spark.read.parquet(s"$rd/03_sig").as[graft.model.Schemas.DocSig]
+    val cands = spark.read.parquet(s"$rd/05_cand").as[graft.model.Schemas.CandPair]
+    val verdicts = graft.plans.DedupPipeline.verifyStage(spark, cands, sigs, norm, DedupConfig.balanced)
+    val p = planOf(verdicts.toDF())
+    // formatted explain: each operator is a "(n) OpName" section whose
+    // Input/Output lines list the attributes crossing that operator
+    val sections = p.split("\\(\\d+\\) ").toSeq
+    val exchangeAttrLists = sections
+      .filter(s => s.startsWith("Exchange") || s.startsWith("AQEShuffleRead"))
+      .map(_.linesIterator
+        .filter(l => l.trim.startsWith("Input") || l.trim.startsWith("Output"))
+        .mkString(" "))
+    def hasVec(io: String) = io.contains("va#") || io.contains("vb#") || io.contains("vec#")
+    def hasText(io: String) = io.contains("a_text#") || io.contains("b_text#")
+    val mixed = exchangeAttrLists.filter(io => hasVec(io) && hasText(io))
+    assert(mixed.isEmpty,
+      s"an exchange carries both vectors and span texts (cascade regression):\n${mixed.mkString("\n")}")
+    // sanity: the parse actually saw the two heavy paths' exchanges
+    assert(exchangeAttrLists.exists(hasVec), s"no vector-carrying exchange found — parse broke?\n$p")
+    assert(exchangeAttrLists.exists(hasText), s"no text-carrying exchange found — parse broke?\n$p")
+  }
 }
