@@ -115,6 +115,52 @@ object SparkEntry {
   def runDirFor(dir: String): String =
     s"/tmp/graft_pipe_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  def annDirFor(dir: String): String =
+    s"/tmp/graft_ann_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Persisted IVF index per sf dir: centroids + corpus assignment from
+    * Ann.ivfFit (the KMeans FIT — iterative, golden/recall-verified, not
+    * SQL-recomputable). The DuckDB oracle recomputes the APPLY end-to-end
+    * from these artifacts: nprobe-nearest-centroid selection, probed-list
+    * candidate restriction, and the cosine top-k — the same fit/apply
+    * split as the calibrated arbiter (round-3 verdict's model for making
+    * iterative-fit operators driver-green).
+    */
+  def ivfIndexDirs(s: SparkSession, dir: String): (String, String) = {
+    val base = annDirFor(dir)
+    val centDir = s"$base/10_ivf_centroids"
+    val asgDir = s"$base/10_ivf_assign"
+    val tag = "nlist16seed42"
+    def done(p: String) = new java.io.File(s"$p/_SUCCESS").exists() &&
+      new java.io.File(s"$p/_graft_conf_$tag").exists()
+    if (!done(centDir) || !done(asgDir)) {
+      val (cent, asg) = Ann.ivfFit(s, embeddings(s, dir), nlist = 16, seed = 42L)
+      cent.coalesce(1).write.mode("overwrite").parquet(centDir)
+      asg.coalesce(1).write.mode("overwrite").parquet(asgDir)
+      Seq(centDir, asgDir).foreach(p => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$p/_graft_conf_$tag"), tag))
+    }
+    (centDir, asgDir)
+  }
+
+  /** Persisted k=8 KMeans centroids (the X3 FIT — iterative); the APPLY
+    * (deterministic argmin assignment) is recomputed by both engines, so
+    * `q_kmeans_assign` is a semantic driver row while `q_kmeans` keeps
+    * checking the fit's size profile.
+    */
+  def km8CentroidsDir(s: SparkSession, dir: String): String = {
+    val p = s"${annDirFor(dir)}/10_km8_centroids"
+    val tag = "k8seed42"
+    val done = new java.io.File(s"$p/_SUCCESS").exists() &&
+      new java.io.File(s"$p/_graft_conf_$tag").exists()
+    if (!done) {
+      val (cent, _) = Ann.ivfFit(s, embeddings(s, dir), nlist = 8, seed = 42L)
+      cent.coalesce(1).write.mode("overwrite").parquet(p)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$p/_graft_conf_$tag"), tag)
+    }
+    p
+  }
+
   /** Shared pipeline run per sf dir: stage outputs persist under /tmp and
     * later queries reuse them via the resume markers (the input tables are
     * immutable), so Verify doesn't recompute the pipeline per query.
@@ -365,6 +411,17 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      // IVF apply over the persisted index (ivfIndexDirs Scaladoc): probe
+      // selection + probed-list cosine top-k, rank-only output so the
+      // compare is ordinal (same scheme as q_ann_topk).
+      val (centDir, asgDir) = ivfIndexDirs(s, dir)
+      val e = embeddings(s, dir)
+      Ann.ivfApply(s, e, s.read.parquet(asgDir), s.read.parquet(centDir),
+        e.filter(col("vec_id") < 20), k = 5, nprobe = 4)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "q_ingest_dedup" -> ((s, dir) => {
       // A7: within-batch keep-first by content hash + anti-join vs seen
       val batch = docsWithVariants(s, dir).select(col("doc_id"), col("text"))
@@ -523,6 +580,48 @@ object SparkEntry {
     // ---------- pipeline/metrics: DuckDB recomputes over stage parquet ----
     "q_lsh_candidates" -> ((s, dir) => {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/05_cand").orderBy("a", "b")
+    }),
+    "q_simhash_near_dup" -> ((s, dir) => {
+      // SimHash banding near-dup (SimHashLsh Scaladoc): 8x16-bit bands over
+      // the persisted 128-bit signatures, guarded bucket self-join, exact
+      // hamming filter. DuckDB recomputes band extraction, the guard, the
+      // self-join, and the hamming distance from the same 03_sig parquet.
+      val sigs = s.read.parquet(s"${pipelineRunDir(s, dir)}/03_sig")
+      graft.sig.SimHashLsh.nearDupPairs(s, sigs,
+        maxHamming = simhashNearDupMaxHamming,
+        maxBucketSize = DedupConfig.balanced.maxBucketSize)
+        .orderBy("a", "b")
+    }),
+    "q_upsert_by_key" -> ((s, dir) => {
+      // S9 upsert semantics as a driver-green row: updates win per key
+      // (one row per key picked deterministically inside the batch),
+      // untouched existing rows survive, new keys insert. DuckDB
+      // recomputes the row_number pick + anti-join + union.
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id")
+      val existing = d.withColumn("rev", lit("e"))
+      val updates = d.filter($"doc_id" % 7 === 0).withColumn("rev", lit("b"))
+        .unionByName(d.filter($"doc_id" % 14 === 0).withColumn("rev", lit("a")))
+        .unionByName(d.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id")).withColumn("rev", lit("n")))
+      graft.sources.Sources.upsertByKey(existing, updates, "doc_id")
+        .orderBy("doc_id", "rev")
+    }),
+    "q_minhash_est_pairs" -> ((s, dir) => {
+      // G6 MinHash estimate as a driver-green row: fraction of agreeing
+      // signature positions per candidate pair, recomputed by DuckDB from
+      // the persisted minhash arrays (same codegen'd zip_with/filter
+      // expression the estPrefilter dataflow uses).
+      val rd = pipelineRunDir(s, dir)
+      val cands = s.read.parquet(s"$rd/05_cand")
+      val sig = s.read.parquet(s"$rd/03_sig")
+      cands
+        .join(sig.select(col("url").as("ma"), col("minhash").as("a_mh")), col("a") === col("ma"))
+        .join(sig.select(col("url").as("mb"), col("minhash").as("b_mh")), col("b") === col("mb"))
+        .withColumn("est", expr(
+          "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v)) / CAST(size(a_mh) AS DOUBLE)"))
+        .select(col("a"), col("b"), col("est"))
+        .orderBy("a", "b")
     }),
     "q_dedup_verdicts" -> ((s, dir) => {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
@@ -699,6 +798,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy(col("cluster_size").desc, col("prediction"))
         .select(col("cluster_size")) // sizes only: stable under label permutation
+    }),
+    "q_kmeans_assign" -> ((s, dir) => {
+      // X3 apply-split: per-vector nearest-centroid assignment over the
+      // persisted k=8 centroids (km8CentroidsDir Scaladoc) — DuckDB
+      // recomputes the argmin from the same artifacts.
+      val cd = km8CentroidsDir(s, dir)
+      Ann.assignToCentroids(s, embeddings(s, dir), s.read.parquet(cd))
+        .orderBy("vec_id")
     }),
     "q_simhash_modes" -> ((s, dir) => {
       // G2/G3/G4: SimHash featurization modes — word shingles (unit-sep
@@ -961,6 +1068,13 @@ object SparkEntry {
   private val oThrEmb = s"${oraConf.thrEmbedCosine}::DOUBLE"
   private val oBits = s"${oraConf.simhashBits.toDouble}::DOUBLE"
 
+  /** Hamming radius for q_simhash_near_dup. Recall is EXACT (pigeonhole)
+    * for radii <= SimHashLsh.NumBands - 1 = 7; this wider radius is the
+    * usual LSH approximation — the ORACLE MIRRORS THE BLOCKING, so the
+    * compare verifies band extraction + guard + hamming, not recall.
+    */
+  private val simhashNearDupMaxHamming = 16
+
   /** Oracle SQL parameterized by the sf dir — Verify dumps
     * oracleSqlFor(actual sfDir) so the stage-parquet paths match the run.
     */
@@ -1175,6 +1289,37 @@ object SparkEntry {
         "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
     "q_embed_near_dup" -> embedNearDupOracle,
+    // IVF APPLY recomputed end-to-end from the persisted index artifacts:
+    // probe = 4 nearest centroids by Euclidean distance (ties by list_id),
+    // candidates = corpus rows assigned to probed lists, rank = cosine
+    // desc / nbr_id asc within candidates. Only the KMeans FIT (centroids
+    // + assignment) is identity-read — iterative, recall-verified in
+    // MediaAnnSpec.
+    "q_ann_ivf_topk" ->
+      (s"WITH cent AS (SELECT list_id, centroid FROM read_parquet('${annDirFor(dir)}/10_ivf_centroids/*.parquet')), " +
+        s"asg AS (SELECT nbr_id, list_id FROM read_parquet('${annDirFor(dir)}/10_ivf_assign/*.parquet')), " +
+        "q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20), " +
+        "probe AS (SELECT query_id, list_id FROM (SELECT q.query_id, c.list_id, " +
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
+        "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) ASC, c.list_id ASC) AS pr " +
+        "FROM q CROSS JOIN cent c) WHERE pr <= 4), " +
+        "cand AS (SELECT p.query_id, a.nbr_id FROM probe p JOIN asg a ON a.list_id = p.list_id " +
+        "WHERE a.nbr_id <> p.query_id) " +
+        "SELECT query_id, nbr_id, rank FROM (SELECT cd.query_id, cd.nbr_id, " +
+        "row_number() OVER (PARTITION BY cd.query_id ORDER BY " +
+        "list_cosine_similarity(qq.embedding, ce.embedding) DESC, cd.nbr_id ASC) AS rank " +
+        "FROM cand cd JOIN q qq ON qq.query_id = cd.query_id JOIN embeddings ce ON ce.vec_id = cd.nbr_id) " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // X3 KMeans APPLY: assignment recomputed from the persisted k=8
+    // centroids — both engines accumulate squared-L2 over the same exact
+    // operands in index order (assignToCentroids Scaladoc), ties broken
+    // by list_id, so the argmin is engine-independent.
+    "q_kmeans_assign" ->
+      (s"WITH cent AS (SELECT list_id, centroid FROM read_parquet('${annDirFor(dir)}/10_km8_centroids/*.parquet')) " +
+        "SELECT vec_id, list_id FROM (SELECT e.vec_id, c.list_id, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) ASC, c.list_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1 ORDER BY vec_id"),
     "q_calibrated_verdicts" -> calibVerdictsOracle(dir),
     // ---------- pipeline/metrics recomputed over stage parquet ----------
     // Candidate generation recomputed INDEPENDENTLY from the banding-stage
@@ -1192,6 +1337,52 @@ object SparkEntry {
         "ON l.band = r.band AND l.bucket = r.bucket AND l.url < r.url), " +
         "capped AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs) " +
         s"SELECT a, b FROM capped WHERE rn <= $oCap ORDER BY a, b"),
+    // SimHash banding recomputed INDEPENDENTLY from the signature parquet:
+    // 16-bit band extraction ((hi|lo >> shift) & 0xFFFF, hi-first — the
+    // bit-for-bit mirror of SimHashLsh.bandRows), the shared bucket guard,
+    // the bucket self-join, and the exact 128-bit hamming distance. Only
+    // the simhash values themselves are a hash chain (golden-verified in
+    // SignatureParitySpec).
+    "q_simhash_near_dup" ->
+      (s"WITH sig AS (SELECT url, simhash_hi, simhash_lo FROM ${sigPq(dir)}), " +
+        "bands AS (SELECT url, b.band, " +
+        "CASE WHEN b.band < 4 THEN (simhash_hi >> ((3 - b.band) * 16)) & 65535 " +
+        "ELSE (simhash_lo >> ((7 - b.band) * 16)) & 65535 END AS bucket " +
+        "FROM sig, (SELECT unnest(range(0, 8)) AS band) b), " +
+        s"ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket " +
+        s"HAVING count(*) >= 2 AND count(*) <= $oBucket), " +
+        "bx AS (SELECT b.band, b.bucket, b.url FROM bands b JOIN ok o ON b.band = o.band AND b.bucket = o.bucket), " +
+        "pairs AS (SELECT DISTINCT l.url AS a, r.url AS b FROM bx l JOIN bx r " +
+        "ON l.band = r.band AND l.bucket = r.bucket AND l.url < r.url), " +
+        "h AS (SELECT p.a, p.b, " +
+        "CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INTEGER) AS hamming " +
+        "FROM pairs p JOIN sig x ON x.url = p.a JOIN sig y ON y.url = p.b) " +
+        s"SELECT a, b, hamming FROM h WHERE hamming <= $simhashNearDupMaxHamming ORDER BY a, b"),
+    // S9 upsert: DuckDB recomputes the within-batch one-row-per-key pick
+    // (row_number over rev DESC — Sources.upsertByKey's window), the
+    // anti-join of existing against update keys, and the union.
+    "q_upsert_by_key" ->
+      ("WITH d AS (SELECT doc_id FROM documents), " +
+        "u0 AS (SELECT doc_id, 'b' AS rev FROM d WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id, 'a' FROM d WHERE doc_id % 14 = 0 " +
+        "UNION ALL SELECT doc_id + 10000000, 'n' FROM d WHERE doc_id % 5 = 0), " +
+        "u AS (SELECT doc_id, rev FROM (SELECT doc_id, rev, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rn FROM u0) WHERE rn = 1), " +
+        "e AS (SELECT doc_id, 'e' AS rev FROM d) " +
+        "SELECT doc_id, rev FROM u " +
+        "UNION ALL SELECT e.doc_id, e.rev FROM e " +
+        "WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = e.doc_id) " +
+        "ORDER BY doc_id, rev"),
+    // MinHash estimate (G6) recomputed from the persisted signature arrays:
+    // fraction of agreeing positions per candidate pair. Both engines
+    // divide the same exact integers, so the doubles are bit-identical.
+    "q_minhash_est_pairs" ->
+      (s"WITH c AS (SELECT a, b FROM ${candPq(dir)}), " +
+        s"sig AS (SELECT url, minhash FROM ${sigPq(dir)}) " +
+        "SELECT c.a, c.b, " +
+        "CAST(len(list_filter(range(1, len(x.minhash) + 1), i -> x.minhash[i] = y.minhash[i])) AS DOUBLE) " +
+        "/ CAST(len(x.minhash) AS DOUBLE) AS est " +
+        "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b ORDER BY a, b"),
     // Verdicts recomputed from the signature stage: exact = exact-hash
     // equality, jaccard = |A∩B|/|A∪B| over the persisted hashed shingle
     // sets (list_intersect), hamming = bit_count(xor(...)), and the full

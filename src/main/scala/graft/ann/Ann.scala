@@ -95,6 +95,19 @@ object Ann {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, assigned) = ivfFit(spark, corpus, nlist, seed, idCol, vecCol)
+    ivfApply(spark, corpus, assigned, centroids, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** IVF FIT: the KMeans coarse quantizer (iterative — verified by golden/
+    * recall specs, not SQL-recomputable) producing the two persistable
+    * artifacts: centroids (list_id, centroid double[]) and the corpus
+    * assignment (nbr_id, list_id). The APPLY over these is pure
+    * argmin/top-k relational algebra a SQL oracle CAN recompute — the same
+    * fit/apply split the calibrated arbiter uses.
+    */
+  def ivfFit(spark: SparkSession, corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+             idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -102,9 +115,25 @@ object Ann {
       .withColumn("features", array_to_vector(col("nbr_vec")))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
-      .select($"nbr_id", $"nbr_vec", $"prediction".as("list_id"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val bc = spark.sparkContext.broadcast(centroids)
+      .select($"nbr_id", $"prediction".as("list_id"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+    (centroids, assigned)
+  }
+
+  /** IVF APPLY: each query probes its `nprobe` nearest centroids
+    * (broadcast — tiny) and scores exact cosine within the probed lists
+    * only. Tie-breaks are total (distance asc then list_id asc; cosine
+    * desc then nbr_id asc) so the result is engine-independent.
+    */
+  def ivfApply(spark: SparkSession, corpus: DataFrame, assigned: DataFrame,
+               centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cent = centroids.select($"list_id".as[Int], $"centroid".as[Array[Double]]).collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cent)
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
@@ -115,13 +144,39 @@ object Ann {
         }.sortBy(_._2).take(nprobe).map(_._1)
         lists.map(l => (qid, v, l))
       }.toDF("query_id", "query_vec", "list_id")
-    val scored = probed.join(assigned, "list_id")
+    val corpusByList = assigned.join(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")), "nbr_id")
+    val scored = probed.join(corpusByList, "list_id")
       .filter($"query_id" =!= $"nbr_id")
       .withColumn("cosine", cosineExpr("query_vec", "nbr_vec"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"nbr_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"nbr_id", $"cosine", $"rank")
+  }
+
+  /** Deterministic nearest-centroid assignment (the KMeans APPLY): naive
+    * per-index squared-L2 accumulated in index order with a strict-less
+    * argmin (ties -> lowest list_id) — exactly the fold a SQL oracle can
+    * mirror (list_distance ASC, list_id ASC), unlike model.transform's
+    * norm-trick distance whose fp rounding differs.
+    */
+  def assignToCentroids(spark: SparkSession, vectors: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cent = centroids.select($"list_id".as[Int], $"centroid".as[Array[Double]]).collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cent)
+    vectors.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var best = -1; var bd = Double.MaxValue
+        bc.value.foreach { case (i, c) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = i }
+        }
+        (id, best)
+      }.toDF(idCol, "list_id")
   }
 
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed. */
