@@ -344,12 +344,29 @@ object DedupPipeline {
     // per doc so boilerplate-heavy corpora can't drown the verify stage
     val spanW = org.apache.spark.sql.expressions.Window
       .partitionBy($"a").orderBy($"jaccard".desc, $"b")
-    val subset = base.filter(needEmb || needSpan)
+    val cumW = spanW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val subPre = base.filter(needEmb || needSpan)
       .withColumn("do_emb", needEmb).withColumn("do_span", needSpan)
-      .withColumn("span_rn",
-        sum(when(needSpan, 1).otherwise(0)).over(
-          spanW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("span_rn", sum(when(needSpan, 1).otherwise(0)).over(cumW))
       .withColumn("do_span", needSpan && $"span_rn" <= conf.spanMaxPairsPerDoc)
+    // Opt-in per-doc embedding budget (DedupConfig.embMaxPairsPerDoc): keep
+    // each anchor doc's `cap` highest-jaccard gray-zone pairs for the
+    // embedding pass; the rest resolve with vote_emb = false (emb_cos stays
+    // null). Same anchor/window convention as the span budget. Drops are
+    // counted (one extra job, opted-in runs only) and logged.
+    val subBudget = conf.embMaxPairsPerDoc match {
+      case None => subPre
+      case Some(cap) =>
+        val d0 = subPre
+          .withColumn("emb_rn", sum(when($"do_emb", 1).otherwise(0)).over(cumW))
+        val dropped = d0.filter($"do_emb" && $"emb_rn" > cap).count()
+        val d = d0.withColumn("do_emb", $"do_emb" && $"emb_rn" <= cap)
+        if (dropped > 0)
+          System.err.println(s"[graft.pipeline] emb budget dropped $dropped gray-zone pairs (> $cap per doc)")
+        spark.sparkContext.setLocalProperty("graft.pipeline.embBudgetDropped", dropped.toString)
+        d
+    }
+    val subset = subBudget
       .filter($"do_emb" || $"do_span")
       .select($"a", $"b", $"do_emb", $"do_span")
 
