@@ -39,6 +39,23 @@ class PlanSpec extends AnyFunSuite {
       s"LSH path degraded to a cross product:\n$p")
   }
 
+  test("SimHash banding path: equi-join on (band, bucket), no cartesian, narrow exchanges") {
+    import spark.implicits._
+    val rd = SparkEntry.pipelineRunDir(spark, sf)
+    val sigs = spark.read.parquet(s"$rd/03_sig")
+    val pairs = graft.sig.SimHashLsh.nearDupPairs(spark, sigs, maxHamming = 7, maxBucketSize = 2000)
+    val p = planOf(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SimHash banding degraded to a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in SimHash banding:\n$p")
+    // the banding path must never ship shingle/minhash arrays — only the
+    // two fixed-width signature words are read from 03_sig
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("shingles") && !readSchema.contains("minhash"),
+      s"SimHash banding reads fat array columns: $readSchema")
+  }
+
   test("pipeline candidate stage: equi-join on bucket keys, no cartesian") {
     import spark.implicits._
     val rd = SparkEntry.pipelineRunDir(spark, sf)
