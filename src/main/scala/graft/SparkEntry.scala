@@ -70,6 +70,10 @@ object SparkEntry {
       // hex only CASE-normalizes to `%2F`
       when(g % 4 === 2, lit("/%7euser")).otherwise(lit("")),
       when(g % 9 === 5, lit("/%61rchive")).otherwise(lit("")),
+      // MALFORMED classes — the single-pass no-rescan cases: '%2%44' keeps
+      // the formed literal '%2D' un-decoded; '%7%65' becomes '%7e', not '~'
+      when(g % 8 === 6, lit("/m%2%44ash")).otherwise(lit("")),
+      when(g % 10 === 7, lit("/t%7%65il")).otherwise(lit("")),
       when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
       lit("?"),
       when(col("doc_id") % 2 === 0, lit("utm_source=feed&")).otherwise(lit("")),
@@ -865,6 +869,8 @@ object SparkEntry {
       "'/p/' || CAST(doc_id % 50 AS VARCHAR) || " +
       "(CASE WHEN (doc_id % 50) % 4 = 2 THEN '/%7euser' ELSE '' END) || " +
       "(CASE WHEN (doc_id % 50) % 9 = 5 THEN '/%61rchive' ELSE '' END) || " +
+      "(CASE WHEN (doc_id % 50) % 8 = 6 THEN '/m%2%44ash' ELSE '' END) || " +
+      "(CASE WHEN (doc_id % 50) % 10 = 7 THEN '/t%7%65il' ELSE '' END) || " +
       "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || " +
       "'?' || " +
       "(CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END) || " +
@@ -875,49 +881,42 @@ object SparkEntry {
       "(CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url " +
       "FROM documents"
 
-  /** DuckDB mirror of graft.expr.UrlPctNormalize as a GENERATED replace
-    * chain over the finite percent-sequence sets: first every `%xy` with a
-    * lowercase hex letter is case-normalized to `%XY`, then every
-    * UNRESERVED `%XY` (ALPHA / DIGIT / - . _ ~) is decoded. The decode
-    * phase runs in DESCENDING hex-value order: a decode output can only
-    * complete a %-token of value >= the forming pattern's (hex digits
-    * decode from 0x30-0x39/0x41-0x46; a formed token `%hX` has value
-    * 16*h + hexval(X) >= chr-value of X whenever it is unreserved), so
-    * descending order guarantees no later replace re-scans a formed token
-    * — matching the expression's single-pass no-rescan semantics.
-    */
-  private val pctPairs: Seq[(String, String)] = {
-    val hexChars = "0123456789abcdefABCDEF"
-    val caseNorm = for {
-      c1 <- hexChars; c2 <- hexChars
-      if c1.isLower || c2.isLower
-    } yield (s"%$c1$c2", s"%${c1.toUpper}${c2.toUpper}")
-    val unreserved = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~')).map(_.toInt)
-    val decode = unreserved.sorted(Ordering[Int].reverse).map { v =>
-      (f"%%$v%02X", v.toChar.toString.replace("'", "''"))
-    }
-    (caseNorm ++ decode).toSeq
-  }
-
-  /** The replace chain split into <=80-deep chunked CTEs (DuckDB's binder
-    * caps expression recursion at 128). Returns ("c0 AS (...), c1 AS
-    * (...), ...", finalCteName); each CTE passes `passCols` through and
-    * carries the progressively-normalized url as `nurl`.
+  /** DuckDB mirror of graft.expr.UrlPctNormalize as a TRUE left-to-right
+    * single pass: a recursive CTE consumes one `%` occurrence per step —
+    * a valid `%XY` token decodes (unreserved) or hex-uppercases (reserved)
+    * and the scan continues AFTER its output, a malformed `%` copies
+    * through. This is the expression's exact no-rescan semantics. (The
+    * previous descending-hex-order replace chain was NOT cascade-safe:
+    * '%2%44' decoded '%44'->'D', forming '%2D', which a later lower-valued
+    * replace then decoded to '-' — tokens formed from a malformed '%h'
+    * plus a decoded hex-digit char have values BELOW the decoded token's.
+    * The messy corpus plants '%2%44' / '%7%65' so the compare exercises
+    * exactly that class.) Callers must open with WITH RECURSIVE. Returns
+    * (cteString, finalCteName); the final CTE passes `passCols` through
+    * and carries the normalized url as `nurl`.
     */
   private def pctNormalizeCtes(src: String, urlCol: String, passCols: Seq[String],
                                prefix: String): (String, String) = {
-    val chunks = pctPairs.grouped(80).toList
-    var cur = src
-    var colExpr = urlCol
-    val ctes = chunks.zipWithIndex.map { case (chunk, i) =>
-      val name = s"$prefix$i"
-      val expr = chunk.foldLeft(colExpr) { case (acc, (f, t)) => s"replace($acc, '$f', '$t')" }
-      val sel = (passCols :+ s"$expr AS nurl").mkString(", ")
-      val cte = s"$name AS (SELECT $sel FROM $cur)"
-      cur = name; colExpr = "nurl"
-      cte
-    }
-    (ctes.mkString(", "), cur)
+    val pass = passCols.mkString(", ")
+    val tok = "substr(rest, strpos(rest, '%') + 1, 2)"
+    def hexv(c: String) = s"(strpos('0123456789abcdef', lower($c)) - 1)"
+    val c1 = "substr(rest, strpos(rest, '%') + 1, 1)"
+    val c2 = "substr(rest, strpos(rest, '%') + 2, 1)"
+    val v = s"CAST(16 * ${hexv(c1)} + ${hexv(c2)} AS INTEGER)"
+    val isTok = s"$tok ~ '^[0-9A-Fa-f]{2}$$'"
+    val scan = s"${prefix}scan"
+    val fin = s"${prefix}fin"
+    val cte =
+      s"$scan AS (SELECT $pass, $urlCol AS rest, '' AS acc FROM $src " +
+        s"UNION ALL SELECT $pass, " +
+        s"CASE WHEN $isTok THEN substr(rest, strpos(rest, '%') + 3) " +
+        s"ELSE substr(rest, strpos(rest, '%') + 1) END AS rest, " +
+        s"acc || substr(rest, 1, strpos(rest, '%') - 1) || " +
+        s"CASE WHEN $isTok THEN (CASE WHEN chr($v) ~ '^[A-Za-z0-9._~-]$$' THEN chr($v) " +
+        s"ELSE '%' || upper($tok) END) ELSE '%' END AS acc " +
+        s"FROM $scan WHERE strpos(rest, '%') > 0), " +
+        s"$fin AS (SELECT $pass, acc || rest AS nurl FROM $scan WHERE strpos(rest, '%') = 0)"
+    (cte, fin)
   }
 
   /** Shared CTE fragment: per-distinct-score (pos, tot) + cumulative counts
@@ -1073,7 +1072,7 @@ object SparkEntry {
     * usual LSH approximation — the ORACLE MIRRORS THE BLOCKING, so the
     * compare verifies band extraction + guard + hamming, not recall.
     */
-  private val simhashNearDupMaxHamming = 16
+  val simhashNearDupMaxHamming = 16
 
   /** Oracle SQL parameterized by the sf dir — Verify dumps
     * oracleSqlFor(actual sfDir) so the stage-parquet paths match the run.
@@ -1168,7 +1167,7 @@ object SparkEntry {
         "ORDER BY doc_id, pos"),
     "q_url_canonical" -> {
       val (pctCtes, pctFinal) = pctNormalizeCtes("u0", "url", Seq("doc_id", "n_chars", "url"), "pn")
-      s"WITH u0 AS ($messyUrlSql), $pctCtes, " +
+      s"WITH RECURSIVE u0 AS ($messyUrlSql), $pctCtes, " +
         s"u AS (SELECT doc_id, n_chars, url, nurl FROM $pctFinal), " +
         "c AS (SELECT doc_id, url, " +
         "regexp_extract(nurl, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
@@ -1185,7 +1184,7 @@ object SparkEntry {
     },
     "q_url_dup_groups" -> {
       val (pctCtes, pctFinal) = pctNormalizeCtes("u0", "url", Seq("doc_id"), "pn")
-      s"WITH u0 AS ($messyUrlSql), $pctCtes, " +
+      s"WITH RECURSIVE u0 AS ($messyUrlSql), $pctCtes, " +
         s"u AS (SELECT doc_id, nurl AS url FROM $pctFinal), " +
         "c AS (SELECT doc_id, url, " +
         "regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS rawauth, " +
@@ -1299,9 +1298,16 @@ object SparkEntry {
       (s"WITH cent AS (SELECT list_id, centroid FROM read_parquet('${annDirFor(dir)}/10_ivf_centroids/*.parquet')), " +
         s"asg AS (SELECT nbr_id, list_id FROM read_parquet('${annDirFor(dir)}/10_ivf_assign/*.parquet')), " +
         "q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20), " +
+        // squared-L2 as an index-order left fold (list_reduce) — the exact
+        // additions Ann's while-loop performs, so the ordering (and any
+        // exact tie) is bit-identical; list_distance's trailing sqrt could
+        // collapse two adjacent-double squared distances into an fp tie
+        // the engine side does not have.
         "probe AS (SELECT query_id, list_id FROM (SELECT q.query_id, c.list_id, " +
         "row_number() OVER (PARTITION BY q.query_id ORDER BY " +
-        "list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) ASC, c.list_id ASC) AS pr " +
+        "list_reduce(list_transform(range(1, len(c.centroid) + 1), " +
+        "i -> (CAST(q.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(q.embedding[i] AS DOUBLE) - c.centroid[i])), " +
+        "(x, y) -> x + y) ASC, c.list_id ASC) AS pr " +
         "FROM q CROSS JOIN cent c) WHERE pr <= 4), " +
         "cand AS (SELECT p.query_id, a.nbr_id FROM probe p JOIN asg a ON a.list_id = p.list_id " +
         "WHERE a.nbr_id <> p.query_id) " +
@@ -1311,14 +1317,17 @@ object SparkEntry {
         "FROM cand cd JOIN q qq ON qq.query_id = cd.query_id JOIN embeddings ce ON ce.vec_id = cd.nbr_id) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
     // X3 KMeans APPLY: assignment recomputed from the persisted k=8
-    // centroids — both engines accumulate squared-L2 over the same exact
-    // operands in index order (assignToCentroids Scaladoc), ties broken
-    // by list_id, so the argmin is engine-independent.
+    // centroids. The squared-L2 is an index-order left fold (list_reduce)
+    // — the exact additions assignToCentroids' while-loop performs over
+    // the same float->double-promoted operands, so distances (and any
+    // exact tie, broken by list_id on both sides) are bit-identical.
     "q_kmeans_assign" ->
       (s"WITH cent AS (SELECT list_id, centroid FROM read_parquet('${annDirFor(dir)}/10_km8_centroids/*.parquet')) " +
         "SELECT vec_id, list_id FROM (SELECT e.vec_id, c.list_id, " +
         "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) ASC, c.list_id ASC) AS rn " +
+        "list_reduce(list_transform(range(1, len(c.centroid) + 1), " +
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), " +
+        "(x, y) -> x + y) ASC, c.list_id ASC) AS rn " +
         "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1 ORDER BY vec_id"),
     "q_calibrated_verdicts" -> calibVerdictsOracle(dir),
     // ---------- pipeline/metrics recomputed over stage parquet ----------

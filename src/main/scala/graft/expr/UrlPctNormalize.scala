@@ -23,9 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF-8 percent sequences and is safe to apply to a whole URL before
   * parsing: decoding unreserved characters cannot introduce a delimiter.
   *
-  * The DuckDB oracle mirrors this with a generated uppercase+decode
-  * `replace` chain over the same finite sequence sets
-  * (SparkEntry.pctNormalizeSql).
+  * Single pass, no rescan (python urllib.parse.unquote / WHATWG URL
+  * parity): a decode output is never re-examined, so the pass is
+  * idempotent on well-formed URLs but NOT on malformed ones — e.g.
+  * `%7%65` -> `%7e` (malformed `%7` copied, `%65` decoded), which a
+  * SECOND pass would decode to `~`. This is the standard library
+  * behavior, documented here as intentional; UrlOpsSpec pins both the
+  * malformed vectors and the second-pass divergence.
+  *
+  * The DuckDB oracle mirrors this with a recursive-CTE left-to-right
+  * scan with identical no-rescan semantics
+  * (SparkEntry.pctNormalizeCtes).
   */
 case class UrlPctNormalize(child: Expression) extends UnaryExpression {
 

@@ -36,8 +36,11 @@ object BucketGuard {
   def okBuckets(spark: SparkSession, rows: DataFrame, maxBucketSize: Long,
                 tag: String): Guarded = {
     import spark.implicits._
-    val sizes = rows.groupBy($"band", $"bucket").count()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: it materializes the aggregation once
+    // for the count + filter consumers AND its blocks are reclaimed by the
+    // ContextCleaner when the plan goes out of scope — persist would leak
+    // one cached relation per guarded LSH pass for the session lifetime.
+    val sizes = rows.groupBy($"band", $"bucket").count().localCheckpoint()
     val dropped = sizes.filter($"count" > maxBucketSize).count()
     if (dropped > 0)
       System.err.println(

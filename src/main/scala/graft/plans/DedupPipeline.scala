@@ -160,8 +160,11 @@ object DedupPipeline {
       case None => pairs
       case Some(cap) =>
         val withDom = pairs.withColumn("dom", graft.text.UrlOps.hostOf($"a"))
-        val domCounts = withDom.groupBy($"dom").count()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint, not persist: blocks are reclaimed by the
+        // ContextCleaner when the plan goes out of scope — a persist here
+        // would leak one cached relation per candidateStage call for the
+        // session lifetime
+        val domCounts = withDom.groupBy($"dom").count().localCheckpoint()
         val droppedPairs = domCounts.filter($"count" > cap)
           .agg(coalesce(sum($"count" - cap), lit(0L))).first().getLong(0)
         if (droppedPairs > 0)
@@ -243,6 +246,8 @@ object DedupPipeline {
     val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
       bit_count($"a_lo".bitwiseXOR($"b_lo"))).as("hamming")
 
+    require(!(conf.verifyCoGroup && conf.estPrefilter),
+      "verifyCoGroup and estPrefilter select conflicting verify dataflows - enable at most one")
     val scored: DataFrame = if (conf.verifyCoGroup && !conf.estPrefilter) {
       coGroupScore(spark, cands, sigs, conf)
     } else if (!conf.estPrefilter) {

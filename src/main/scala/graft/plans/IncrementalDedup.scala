@@ -95,8 +95,13 @@ object IncrementalDedup {
     */
   private def batchToken(spark: SparkSession, pages: Dataset[Page]): String = {
     import spark.implicits._
+    // hash EVERY Page field the pipeline reads (url, text, lang, warc_ts,
+    // html bytes): a re-ingest of the same urls/texts with e.g. a corrected
+    // lang column is a DIFFERENT batch and must not resume the old stages.
     val r = pages.toDF()
-      .select(xxhash64($"url", coalesce($"text", lit(""))).as("h"))
+      .select(xxhash64($"url", coalesce($"text", lit("")),
+        coalesce($"lang", lit("")), coalesce($"warc_ts".cast("long"), lit(0L)),
+        coalesce(xxhash64($"html"), lit(0L))).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).first()
     val x = if (r.isNullAt(1)) 0L else r.getLong(1)
     f"${r.getLong(0)}%x_$x%016x"

@@ -58,14 +58,30 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("canonicalUrl is idempotent on the planted corpus") {
+  test("canonicalUrl is idempotent on well-formed URLs of the planted corpus") {
     import spark.implicits._
     graft.expr.UrlPctNormalize.register(spark)
+    // Exclude the two MALFORMED percent classes (g%8==6, g%10==7): the
+    // single-pass no-rescan decode is python-unquote parity and therefore
+    // deliberately NOT idempotent on malformed inputs (UrlPctNormalize
+    // Scaladoc) — those classes are pinned by exact vectors below.
+    val g = col("doc_id") % 50
     val u = SparkEntry.queries("q_url_canonical")(spark, sf)
+      .filter(!(g % 8 === 6) && !(g % 10 === 7))
     val twice = u.select(col("canon_url"),
       graft.text.UrlOps.canonicalUrl(col("canon_url")).as("c2"))
     assert(twice.filter(col("canon_url") =!= col("c2")).count() == 0)
     assert(u.count() > 0)
+  }
+
+  test("malformed percent sequences: single-pass no-rescan vectors and the documented second-pass divergence") {
+    // '%2%44': malformed '%2' copies, '%44' decodes to 'D' forming the
+    // literal '%2D' which the same pass must NOT re-decode; a second pass
+    // decodes it to '-'. Same shape for '%7%65' -> '%7e' -> '~'.
+    val once = canon(Seq("https://h.example/m%2%44ash", "https://h.example/t%7%65il"))
+    assert(once == Seq("https://h.example/m%2Dash", "https://h.example/t%7eil"))
+    val twiceOver = canon(once)
+    assert(twiceOver == Seq("https://h.example/m-ash", "https://h.example/t~il"))
   }
 
   test("hostOf strips scheme, userinfo, port, www and lowercases") {
