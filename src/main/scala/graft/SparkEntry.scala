@@ -339,6 +339,20 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token").asc).limit(50)
     }),
+    // N2 tokenize (text_preproc.py:126-151) as a driver row: whitespace
+    // split + min_len=2 + default-stopword filter, reported as per-doc
+    // token frequencies so the DuckDB oracle can recompute it exactly.
+    // The raw-documents variant uses ASCII \s+ (matching the green
+    // q_token_count convention); exact Python-whitespace parity on the
+    // normalize chain stays covered by the NormParitySpec goldens.
+    "q_tokenize" -> ((s, dir) => {
+      val sw = graft.norm.TextNorm.DefaultStopwords.toSeq
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) >= 2 && !col("token").isin(sw: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
     "q_exact_dup_groups" -> ((s, dir) => {
       docsWithVariants(s, dir)
         .select(col("doc_id"), sha2(simpleNormCol(col("text")), 256).as("norm_hash"))
@@ -584,6 +598,19 @@ object SparkEntry {
     // ---------- pipeline/metrics: DuckDB recomputes over stage parquet ----
     "q_lsh_candidates" -> ((s, dir) => {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/05_cand").orderBy("a", "b")
+    }),
+    // The skew-safe per-domain candidate cap (DedupPipeline.domainCap)
+    // applied over the persisted candidate stage, with a cap low enough to
+    // flood several of the corpus's 20 planted domains — exercises BOTH
+    // branches (broadcast anti-join passthrough for unflooded domains, the
+    // salted two-phase top-k for flooded ones). The oracle recomputes the
+    // exact semantics — host-of-a grouping, global first `cap` pairs by
+    // (a, b) — in plain windowed SQL, so the salting must be invisible.
+    "q_domain_capped_candidates" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"${pipelineRunDir(s, dir)}/05_cand").select("a", "b")
+      graft.plans.DedupPipeline.domainCap(s, pairs,
+        DedupConfig.balanced.copy(maxCandidatesPerDomain = Some(domainCapQueryCap)))
+        .orderBy("a", "b")
     }),
     "q_simhash_near_dup" -> ((s, dir) => {
       // SimHash banding near-dup (SimHashLsh Scaladoc): 8x16-bit bands over
@@ -1074,6 +1101,12 @@ object SparkEntry {
     */
   val simhashNearDupMaxHamming = 16
 
+  /** Cap for q_domain_capped_candidates: low enough that several of the 20
+    * planted domains flood at sf0.01 (avg ~16 pairs/domain there), so the
+    * salted top-k branch actually runs in the driver-verified query.
+    */
+  val domainCapQueryCap = 10
+
   /** Oracle SQL parameterized by the sf dir — Verify dumps
     * oracleSqlFor(actual sfDir) so the stage-parquet paths match the run.
     */
@@ -1091,6 +1124,12 @@ object SparkEntry {
     "q_top_tokens" ->
       ("SELECT token, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token " +
         "FROM documents) WHERE length(token) > 0 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"),
+    "q_tokenize" ->
+      ("SELECT doc_id, token, count(*) AS cnt FROM (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents) " +
+        "WHERE length(token) >= 2 AND token NOT IN (" +
+        graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString(",") +
+        ") GROUP BY doc_id, token ORDER BY doc_id, token"),
     "q_exact_dup_groups" ->
       (s"SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_hash, " +
         s"count(*) AS cluster_size, min(doc_id) AS rep_doc_id FROM $docsWithVariantsSql " +
@@ -1337,6 +1376,15 @@ object SparkEntry {
     // mirror of DedupPipeline.candidateStage over 04_bands. The bands
     // themselves are a hash chain (xxh64 over minhash slices) verified by
     // golden parity specs.
+    "q_domain_capped_candidates" ->
+      (s"WITH pairs AS (SELECT a, b FROM ${candPq(dir)}), " +
+        "wd AS (SELECT a, b, regexp_replace(regexp_extract(lower(a), " +
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '^www\\.', '') AS dom FROM pairs), " +
+        s"flooded AS (SELECT dom FROM wd GROUP BY dom HAVING count(*) > $domainCapQueryCap) " +
+        "SELECT a, b FROM wd WHERE dom NOT IN (SELECT dom FROM flooded) " +
+        "UNION ALL SELECT a, b FROM (SELECT a, b, row_number() OVER (PARTITION BY dom ORDER BY a, b) AS rn " +
+        s"FROM wd WHERE dom IN (SELECT dom FROM flooded)) WHERE rn <= $domainCapQueryCap " +
+        "ORDER BY a, b"),
     "q_lsh_candidates" ->
       (s"WITH bands AS (SELECT band, bucket, url FROM ${bandsPq(dir)}), " +
         "ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket " +

@@ -154,7 +154,7 @@ object DedupPipeline {
     * holds billions of pairs; unflooded domains bypass the windows
     * entirely via an anti-join on the (tiny) flooded-domain set.
     */
-  private def domainCap(spark: SparkSession, pairs: DataFrame, conf: DedupConfig): DataFrame = {
+  private[graft] def domainCap(spark: SparkSession, pairs: DataFrame, conf: DedupConfig): DataFrame = {
     import spark.implicits._
     conf.maxCandidatesPerDomain match {
       case None => pairs
