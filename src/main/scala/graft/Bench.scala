@@ -177,6 +177,11 @@ object ScalingBench {
     if (sys.env.get("SPARK_GRAFT_PREFILTER").contains("1")) base = base.copy(estPrefilter = true)
     // SPARK_GRAFT_COGROUP=0 forces the join dataflow for A/B measurement
     sys.env.get("SPARK_GRAFT_COGROUP").foreach(v => base = base.copy(verifyCoGroup = v == "1"))
+    // SPARK_GRAFT_BOILER_FRAC=<f> turns on corpus-level boilerplate shingle
+    // suppression (sig/Boilerplate) — the density lever; pair with
+    // SPARK_GRAFT_TEMPLATE_TOKENS for the planted-template A/B
+    sys.env.get("SPARK_GRAFT_BOILER_FRAC")
+      .foreach(v => base = base.copy(boilerplateMaxDfFrac = Some(v.toDouble)))
     base
   }
 
@@ -233,12 +238,23 @@ object ScalingBench {
 
   def buildPages(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                  variants: Int): org.apache.spark.sql.Dataset[graft.model.Schemas.Page] = {
+    import spark.implicits._
     val expand = sys.env.getOrElse("SPARK_GRAFT_EXPAND", "8").toInt
     val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
-    expandPages(spark,
+    val base = expandPages(spark,
       replicatePages(spark,
         graft.pages.PagesSource.fromDocuments(spark, sfDir, variants), rep),
       sfDir, expand)
+    // SPARK_GRAFT_TEMPLATE_TOKENS=<n>: prepend a shared n-token template
+    // block (nav/footer boilerplate) to EVERY page — plants the web
+    // template-skew failure mode whose candidate-junk class the
+    // boilerplate-suppression lever (SPARK_GRAFT_BOILER_FRAC) removes.
+    val tmplTokens = sys.env.getOrElse("SPARK_GRAFT_TEMPLATE_TOKENS", "0").toInt
+    if (tmplTokens <= 0) base
+    else {
+      val template = (0 until tmplTokens).map(i => s"navtmpl$i").mkString(" ")
+      base.map(p => p.copy(text = template + " " + p.text))
+    }
   }
 
   def runOnceCluster(workers: Int, coresPerWorker: Int, sfDir: String,

@@ -51,6 +51,27 @@ final case class DedupConfig(
     // carried them, a disclosed recall trade documented with a logged drop
     // count. Opt-in (None = parity: the reference embeds every gray pair).
     embMaxPairsPerDoc: Option[Int] = None,
+    // ---- corpus-level boilerplate shingle suppression (density knob) ----
+    // The pair-density lever the 900k-page scaling measurement motivates
+    // (BENCH/BASELINE.md round-4 density stress): shingles appearing in more
+    // than ceil(frac * corpus) docs — template navigation/footer/legal text —
+    // are dropped from every doc's shingle set BEFORE minhash/LSH/Jaccard,
+    // removing the boilerplate-driven candidate-pair class at the source
+    // instead of capping it afterwards. Opt-in (None = parity: the reference
+    // has no df pass); semantics and determinism in sig/Boilerplate.scala.
+    boilerplateMaxDfFrac: Option[Double] = None,
+    // df threshold floor: a shingle must appear in MORE than this many docs
+    // to ever count as hot, whatever the frac (guards tiny corpora).
+    boilerplateMinDf: Int = 2,
+    // Deterministic 1-in-k url-hash sample for the df pass (1 = full
+    // corpus). Template shingles appear in a constant FRACTION of pages, so
+    // a sample estimates df/n with error ~1/sqrt(sample-df) — the 100 TB
+    // path runs the df pass on a 1-in-100 sample.
+    boilerplateSampleOneIn: Int = 1,
+    // Hot-set size cap (highest-df entries kept, truncation logged). The
+    // natural bound is avg-shingles-per-doc / frac — corpus-size-independent
+    // — so 1M is generous headroom, and the broadcast stays a few MB.
+    boilerplateMaxHotSet: Int = 1 << 20,
     // ---- suffix-array shared-span pass (north-rule addition) ----
     spanPassEnabled: Boolean = true,
     spanMinChars: Int = 200,         // span length reported as "long"

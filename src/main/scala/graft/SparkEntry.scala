@@ -309,6 +309,22 @@ object SparkEntry {
     (paramsDir, cvDir)
   }
 
+  /** Rep-doc norm rows of the shared pipeline run — the exact relation the
+    * signature stage signed (01_norm restricted to exact-group reps).
+    */
+  private def repNormOf(s: SparkSession, rd: String): org.apache.spark.sql.Dataset[DocNorm] = {
+    import s.implicits._
+    val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
+    norm.join(s.read.parquet(s"$rd/02_reps").filter(col("url") === col("rep")).select("rep"),
+      norm("url") === col("rep")).drop("rep").as[DocNorm]
+  }
+
+  /** Hot-shingle df fraction for q_boilerplate_suppress — chosen so the
+    * sf0.01 corpus yields a nonempty hot set (df probe: max df 30 over 868
+    * reps; thr = ceil(0.01·868) = 9 → 42 hot shingles, 290 docs touched).
+    */
+  private[graft] val boilerplateQueryFrac = 0.01
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- SQL-oracled over the sf tables ----------
     "q_lang_hist" -> ((s, dir) => {
@@ -654,6 +670,34 @@ object SparkEntry {
         .select(col("a"), col("b"), col("est"))
         .orderBy("a", "b")
     }),
+    "q_shingle_df" -> ((s, dir) => {
+      // Boilerplate-df operator (sig/Boilerplate): Spark recomputes shingle
+      // document frequency from the normalized TEXT via the signature-stage
+      // chain; DuckDB independently recomputes it by unnesting the persisted
+      // 03_sig arrays — the rows meet only if the whole tokenize/hash chain
+      // AND the df aggregation agree. Top-200 under the (df desc, shingle)
+      // total order keeps the row both deterministic and bounded.
+      val rd = pipelineRunDir(s, dir)
+      graft.sig.Boilerplate.shingleDf(s, repNormOf(s, rd), DedupConfig.balanced)
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("shingle").asc).limit(200)
+    }),
+    "q_boilerplate_suppress" -> ((s, dir) => {
+      // Hot-set derivation + per-doc suppression (the pair-density knob):
+      // Spark derives the hot set and suppressed set sizes from the
+      // normalized text; DuckDB re-derives the threshold (decimal-exact,
+      // Boilerplate.dfThreshold Scaladoc), the hot set, and the per-doc
+      // filtered counts from the persisted 03_sig arrays.
+      import s.implicits._
+      val rd = pipelineRunDir(s, dir)
+      val conf = DedupConfig.balanced.copy(boilerplateMaxDfFrac = Some(boilerplateQueryFrac))
+      val repNorm = repNormOf(s, rd)
+      val hot = graft.sig.Boilerplate.hotShingles(s, repNorm, conf)
+      repNorm.map { d =>
+        val sh = graft.sig.Shingles.ofNormText(d.norm_text, conf)
+        (d.url, sh.length.toLong, graft.sig.Boilerplate.suppress(sh, hot).length.toLong)
+      }.toDF("url", "n_before", "n_after").orderBy("url")
+    }),
     "q_dedup_verdicts" -> ((s, dir) => {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/06_verdicts")
         .select(col("pair_key"), col("exact"), col("jaccard"), col("hamming"),
@@ -672,6 +716,31 @@ object SparkEntry {
       // norm hashes, and the component merge via a recursive CTE.
       s.read.parquet(s"${incrementalRunDir(s, dir)}/inc_07_assign")
         .orderBy("cluster_id", "url")
+    }),
+    "q_fetch_window" -> ((s, dir) => {
+      // Batch time-series windowing over the input table's warc_ts (the
+      // crawl-rate / per-window corpus-mix view a continuously crawled
+      // store needs): Spark's tumbling window() operator, DuckDB mirrors
+      // with date_trunc (both epoch-aligned, session UTC). Reported as
+      // epoch seconds — engine-independent integer compare.
+      val p = s.read.parquet(pagesDumpDir(s, dir))
+      p.groupBy(window(col("warc_ts"), "1 hour"), col("lang"))
+        .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_urls"))
+        .select(unix_timestamp(col("window.start")).as("win_start"), col("lang"),
+          col("n_pages"), col("n_urls"))
+        .orderBy("win_start", "lang")
+    }),
+    "q_dup_rate_by_lang" -> ((s, dir) => {
+      // Corpus-curation analytics: near-dup rate per language over the
+      // verdict pairs (anchor doc's lang), the per-slice dup profile a
+      // training-data pipeline reports before filtering.
+      val rd = pipelineRunDir(s, dir)
+      val v = s.read.parquet(s"$rd/06_verdicts").select(col("a"), col("final_label"))
+      val langs = s.read.parquet(s"$rd/01_norm").select(col("url"), col("lang"))
+      v.join(langs, v("a") === langs("url"))
+        .groupBy("lang").agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("final_label") === "DUPLICATE", 1L).otherwise(0L)).as("n_dup"))
+        .orderBy("lang")
     }),
     "q_cluster_summary" -> ((s, dir) => {
       // T2 cluster ordering: size desc, then first member
@@ -1440,6 +1509,31 @@ object SparkEntry {
         "CAST(len(list_filter(range(1, len(x.minhash) + 1), i -> x.minhash[i] = y.minhash[i])) AS DOUBLE) " +
         "/ CAST(len(x.minhash) AS DOUBLE) AS est " +
         "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b ORDER BY a, b"),
+    // Shingle document frequency recomputed INDEPENDENTLY by unnesting the
+    // persisted 03_sig shingle arrays (per-doc distinct, so count(*) = df);
+    // the Spark side re-derives the same rows from the normalized text.
+    "q_shingle_df" ->
+      ("SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df " +
+        s"FROM (SELECT url, unnest(shingles) AS shingle FROM ${sigPq(dir)}) " +
+        "GROUP BY shingle HAVING COUNT(*) >= 2 " +
+        "ORDER BY df DESC, shingle ASC LIMIT 200"),
+    // Boilerplate suppression: DuckDB re-derives the decimal-exact df
+    // threshold (GREATEST(minDf, CEIL(frac·n)) — the 0.01 literal parses as
+    // DECIMAL, matching Boilerplate.dfThreshold's BigDecimal math), the hot
+    // set, and each doc's suppressed set size via list_filter over the
+    // persisted arrays. Constants are derived from the same config values
+    // the Spark side uses, so a config change diverges loudly (rowcount),
+    // not silently.
+    "q_boilerplate_suppress" ->
+      (s"WITH ex AS (SELECT url, unnest(shingles) AS shingle FROM ${sigPq(dir)}), " +
+        s"nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ${sigPq(dir)}), " +
+        "hot AS (SELECT shingle FROM ex GROUP BY shingle " +
+        s"HAVING COUNT(*) > GREATEST(${DedupConfig.balanced.boilerplateMinDf}, " +
+        s"CAST(CEIL($boilerplateQueryFrac * (SELECT nd FROM nn)) AS BIGINT))), " +
+        "hotl AS (SELECT COALESCE(LIST(shingle), CAST([] AS BIGINT[])) AS hs FROM hot) " +
+        s"SELECT s.url, CAST(len(s.shingles) AS BIGINT) AS n_before, " +
+        "CAST(len(list_filter(s.shingles, x -> NOT list_contains(h.hs, x))) AS BIGINT) AS n_after " +
+        s"FROM ${sigPq(dir)} s, hotl h ORDER BY url"),
     // Verdicts recomputed from the signature stage: exact = exact-hash
     // equality, jaccard = |A∩B|/|A∪B| over the persisted hashed shingle
     // sets (list_intersect), hamming = bit_count(xor(...)), and the full
@@ -1551,6 +1645,17 @@ object SparkEntry {
         s"(a.url IN (SELECT url FROM ${incPq(dir, "inc_01_norm")})) AS is_new " +
         "FROM assigned a JOIN sizes2 s ON s.cluster_id = a.cluster_id " +
         "WHERE s.cluster_size >= 2 ORDER BY a.cluster_id, a.url"),
+    // Tumbling 1-hour window == epoch-aligned date_trunc (session UTC both
+    // sides); counts reported as epoch seconds + BIGINTs.
+    "q_fetch_window" ->
+      ("SELECT CAST(epoch(date_trunc('hour', warc_ts)) AS BIGINT) AS win_start, lang, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pages, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls " +
+        s"FROM ${pagesPq(dir)} GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_dup_rate_by_lang" ->
+      (s"SELECT n.lang, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN v.final_label = 'DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
+        s"FROM ${verdictsPq(dir)} v JOIN ${normPq(dir)} n ON n.url = v.a " +
+        "GROUP BY n.lang ORDER BY n.lang"),
     "q_cluster_summary" ->
       (s"SELECT cluster_id, count(*) AS cluster_size FROM ${clustersPq(dir)} " +
         "GROUP BY cluster_id ORDER BY cluster_size DESC, cluster_id ASC"),

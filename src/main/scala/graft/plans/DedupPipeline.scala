@@ -36,7 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupPipeline {
 
-  final val ShingleHashSeed = 0x5EED5EEDL
+  /** Canonical shingle-hash seed lives in sig/Shingles (shared with the
+    * boilerplate-df operator); kept here as an alias for existing callers.
+    */
+  final val ShingleHashSeed = graft.sig.Shingles.HashSeed
 
   /** Materialize a reused relation: localCheckpoint by default (blocks on
     * executors, reclaimed by the ContextCleaner), reliable checkpoint()
@@ -57,29 +60,19 @@ object DedupPipeline {
     DocNorm(url, norm, TextNorm.exactHash(norm), TextNorm.contentHash(norm), toks.length, lang)
   }
 
-  def signDoc(d: DocNorm, conf: DedupConfig, as: Array[Long], bs: Array[Long]): DocSig = {
+  def signDoc(d: DocNorm, conf: DedupConfig, as: Array[Long], bs: Array[Long],
+              hotShingles: Array[Long] = Array.emptyLongArray): DocSig = {
     // One whitespace split serves both learners: the SimHash tokenizer keeps
     // every token of length >= minTokenLen (empty stopword set —
     // simhash_model.py:48), the MinHash tokenizer additionally drops the
-    // default stopwords (text_preproc.py:126-151).
+    // default stopwords (text_preproc.py:126-151). Shingle identity via
+    // hash-combining the per-token hashes (sig/Shingles Scaladoc). Hot
+    // (boilerplate) shingles are suppressed from the set-based learner only
+    // — SimHash stays token-weighted over the full text.
     val simToks = TextNorm.simhashTokens(d.norm_text, conf.minTokenLen)
     val toks = simToks.filterNot(TextNorm.DefaultStopwords)
-    // Shingle identity via hash-combining the per-token hashes — the
-    // distinct-set semantics equal the reference's string shingles (a
-    // deterministic injective-modulo-collision encoding), with no
-    // per-shingle string allocation.
-    val k = conf.shingleSize
-    val tokHashes = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) { tokHashes(i) = XXH64.hashString(toks(i), ShingleHashSeed); i += 1 }
-    val nSh = if (k <= 1) toks.length else math.max(0, toks.length - k + 1)
-    val hashes = new Array[Long](nSh)
-    i = 0
-    while (i < nSh) {
-      hashes(i) = if (k <= 1) tokHashes(i) else XXH64.hashLongs(tokHashes, i, i + k, k.toLong)
-      i += 1
-    }
-    val distinctSorted = hashes.distinct.sorted
+    val distinctSorted = graft.sig.Boilerplate.suppress(
+      graft.sig.Shingles.fromTokens(toks, conf.shingleSize), hotShingles)
     val mh = MinHashSig.signature(distinctSorted, as, bs)
     val s = SimHash.fromTokens(simToks, conf.maxTokenWeight, conf.simhashBits)
     DocSig(d.url, d.exact_hash, distinctSorted.length, distinctSorted, mh, s.hi, s.lo)
@@ -95,15 +88,20 @@ object DedupPipeline {
       .mapPartitions(_.map(p => normalizeDoc(p.url, p.text, p.lang)))
   }
 
-  /** Stage 2: signatures (MinHash + SimHash + hashed shingle set). */
-  def signatureStage(spark: SparkSession, norm: Dataset[DocNorm], conf: DedupConfig): Dataset[DocSig] = {
+  /** Stage 2: signatures (MinHash + SimHash + hashed shingle set), with
+    * optional boilerplate-shingle suppression (sorted hot array, broadcast).
+    */
+  def signatureStage(spark: SparkSession, norm: Dataset[DocNorm], conf: DedupConfig,
+                     hotShingles: Array[Long] = Array.emptyLongArray): Dataset[DocSig] = {
     import spark.implicits._
     val numPerm = conf.numPerm
     val seed = conf.seed
     val c = conf
+    val bcHot = spark.sparkContext.broadcast(hotShingles)
     norm.mapPartitions { it =>
       val (as, bs) = MinHashSig.permutations(numPerm, seed)
-      it.map(d => signDoc(d, c, as, bs))
+      val hot = bcHot.value
+      it.map(d => signDoc(d, c, as, bs, hot))
     }
   }
 
@@ -668,7 +666,18 @@ object DedupPipeline {
     val repNorm = norm.join(repsDf.filter($"url" === $"rep").select($"rep"),
       norm("url") === $"rep").drop("rep").as[DocNorm]
 
-    val sigDf = stage("03_sig") { signatureStage(spark, repNorm, conf).toDF() }
+    val sigDf = stage("03_sig") {
+      // hot-set derivation only runs when the stage itself runs (the block
+      // is skipped on resume); it is a pure function of (01_norm, conf), so
+      // the 03_sig resume marker covers it. The set is persisted next to the
+      // stage so incremental ingest signs NEW batches with the same frozen
+      // template vocabulary (IncrementalDedup Scaladoc).
+      val hot = graft.sig.Boilerplate.hotShingles(spark, repNorm, conf)
+      if (conf.boilerplateMaxDfFrac.isDefined)
+        spark.createDataset(hot.toIndexedSeq).toDF("shingle")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$runDir/03_hot")
+      signatureStage(spark, repNorm, conf, hot).toDF()
+    }
     val sigs = sigDf.as[DocSig]
 
     val bandDf = stage("04_bands") { bandingStage(spark, sigs, conf).toDF() }

@@ -148,7 +148,22 @@ object IncrementalDedup {
       .join(exactAttachDf.select($"new_url"), $"url" === $"new_url", "left_anti")
       .drop("rep").as[DocNorm]
 
-    val newSigDf = stage("inc_03_sig") { DedupPipeline.signatureStage(spark, freshReps, conf).toDF() }
+    val newSigDf = stage("inc_03_sig") {
+      // Boilerplate suppression: sign the new batch with the OLD run's
+      // persisted hot set (frozen template vocabulary) — recomputing df over
+      // the batch alone would suppress a different set and make signatures
+      // incomparable. The union corpus's df drifts as batches accumulate;
+      // compact() + a base re-run refreshes the vocabulary. Divergence vs a
+      // full recompute (which would derive df over the union) is the same
+      // documented class as the per-doc candidate cap near its boundary.
+      val hot: Array[Long] = if (conf.boilerplateMaxDfFrac.isEmpty) Array.emptyLongArray else {
+        val p = s"$oldRunDir/03_hot"
+        require(fs(spark, p).exists(new Path(p)),
+          s"old run at $oldRunDir has boilerplate suppression configured but no persisted 03_hot set")
+        spark.read.parquet(p).orderBy($"shingle").as[Long].collect()
+      }
+      DedupPipeline.signatureStage(spark, freshReps, conf, hot).toDF()
+    }
     val newBandDf = stage("inc_04_bands") { DedupPipeline.bandingStage(spark, newSigDf.as[DocSig], conf).toDF() }
 
     // ---- candidates: probe only buckets containing a new row ----

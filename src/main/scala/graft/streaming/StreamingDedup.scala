@@ -96,6 +96,11 @@ object StreamingDedup {
                         maxBucketUrls: Int = 64,
                         stateTimeout: Option[String] = Some("2 hours")): Dataset[(String, String)] = {
     import spark.implicits._
+    // A stream cannot compute corpus-level shingle df, and signing with an
+    // empty hot set while the batch side suppresses would make streaming
+    // candidates incomparable with batch signatures — refuse loudly.
+    require(conf.boilerplateMaxDfFrac.isEmpty,
+      "boilerplate suppression is batch-only (corpus df); pass a conf without boilerplateMaxDfFrac")
     val c = conf
     val bandRows: Dataset[(Long, String)] = pages.mapPartitions { it =>
       val (as, bs) = graft.sig.MinHashSig.permutations(c.numPerm, c.seed)
