@@ -94,13 +94,19 @@ object StreamingDedup {
   def nearDupCandidates(spark: SparkSession, pages: Dataset[Page],
                         conf: graft.DedupConfig = graft.DedupConfig.balanced,
                         maxBucketUrls: Int = 64,
-                        stateTimeout: Option[String] = Some("2 hours")): Dataset[(String, String)] = {
+                        stateTimeout: Option[String] = Some("2 hours"),
+                        hotShingles: Array[Long] = null): Dataset[(String, String)] = {
     import spark.implicits._
-    // A stream cannot compute corpus-level shingle df, and signing with an
-    // empty hot set while the batch side suppresses would make streaming
-    // candidates incomparable with batch signatures — refuse loudly.
-    require(conf.boilerplateMaxDfFrac.isEmpty,
-      "boilerplate suppression is batch-only (corpus df); pass a conf without boilerplateMaxDfFrac")
+    // A stream cannot compute corpus-level shingle df, so under a
+    // suppression config the caller MUST supply the batch run's persisted
+    // hot set (`$runDir/03_hot`, sorted) — signing with an empty set while
+    // the batch side suppresses would make streaming candidates
+    // incomparable with batch signatures. Same frozen-vocabulary semantics
+    // as IncrementalDedup.
+    require(conf.boilerplateMaxDfFrac.isEmpty || hotShingles != null,
+      "suppression config: pass the batch run's persisted 03_hot set as hotShingles")
+    val hot = if (hotShingles == null) Array.emptyLongArray else hotShingles
+    val bcHot = spark.sparkContext.broadcast(hot)
     val c = conf
     val bandRows: Dataset[(Long, String)] = pages.mapPartitions { it =>
       val (as, bs) = graft.sig.MinHashSig.permutations(c.numPerm, c.seed)
@@ -110,7 +116,7 @@ object StreamingDedup {
         if (p.text == null || p.text.trim.isEmpty) Iterator.empty
         else {
           val d = graft.plans.DedupPipeline.normalizeDoc(p.url, p.text, p.lang)
-          val sig = graft.plans.DedupPipeline.signDoc(d, c, as, bs)
+          val sig = graft.plans.DedupPipeline.signDoc(d, c, as, bs, bcHot.value)
           (0 until b).iterator.map { band =>
             // key packs (band, bucket-hash) into one long group key
             val bucket = graft.hash.XXH64.hashLongs(

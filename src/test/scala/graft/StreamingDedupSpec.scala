@@ -112,6 +112,55 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming under suppression uses the frozen hot set: batch superset, no template pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // template-heavy corpus (BoilerplateSpec's failure mode): the stream
+    // must sign with the BATCH-derived hot set — same frozen-vocabulary
+    // contract as IncrementalDedup — and refuse to run without it.
+    val template = (0 until 300).map(i => s"tmplword$i").mkString(" ")
+    val pageList = for { f <- 0 until 15; m <- 0 until 3 } yield {
+      val core = (0 until 40).map(i => s"fam${f}core$i").mkString(" ")
+      val edit = if (m == 0) "" else s" extraf${f}m$m tail$m"
+      page(s"https://t.example/f$f/m$m", s"$template $core$edit", f * 10 + m)
+    }
+    val conf = graft.DedupConfig.balanced.copy(boilerplateMaxDfFrac = Some(0.3))
+    val pages = spark.createDataset(pageList)
+    val norm = graft.plans.DedupPipeline.normalizeStage(spark, pages)
+    val hot = graft.sig.Boilerplate.hotShingles(spark, norm, conf)
+    assert(hot.nonEmpty, "template corpus should yield a hot set")
+    val sigs = graft.plans.DedupPipeline.signatureStage(spark, norm, conf, hot)
+    val bands = graft.plans.DedupPipeline.bandingStage(spark, sigs, conf)
+    val (cands, _) = graft.plans.DedupPipeline.candidateStage(spark, bands, conf)
+    val batchPairs = cands.as[(String, String)].collect().toSet
+    assert(batchPairs.nonEmpty)
+
+    intercept[IllegalArgumentException] {
+      StreamingDedup.nearDupCandidates(spark, pages, conf, stateTimeout = None)
+    }
+
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.nearDupCandidates(spark, in.toDS(), conf,
+        maxBucketUrls = 4096, stateTimeout = None, hotShingles = hot)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("near_boiler_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      pageList.grouped(20).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val streamPairs = spark.sql("SELECT a, b FROM near_boiler_out")
+        .as[(String, String)].collect().toSet
+      val missing = batchPairs -- streamPairs
+      assert(missing.isEmpty,
+        s"${missing.size} of ${batchPairs.size} suppressed batch pairs missing from the stream")
+      def fam(u: String) = u.split("/")(3)
+      assert(streamPairs.forall { case (a, b) => fam(a) == fam(b) },
+        s"suppressed stream emitted cross-family template pairs: ${streamPairs.filter(p => fam(p._1) != fam(p._2)).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates are a superset of the batch pipeline's") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
