@@ -89,6 +89,48 @@ object SparkEntry {
     * dedup queries real duplicate groups to find, derivable identically in
     * Spark and DuckDB SQL.
     */
+  /** Deterministic "lined" web corpus for the line-dedup operator, derived
+    * from the documents table in both engines (the messyUrls pattern —
+    * derivation AND operator are independently recomputed in SQL): each
+    * doc's text becomes a per-site header line, the body chunked into
+    * 12-token lines, an optional per-site promo line (doc_id % 4 = 1), an
+    * optional cross-site "special offer" line whose df sits exactly at the
+    * hot threshold (doc_id % 10 = 3, ~7 docs per code value), and a
+    * per-site footer line.
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("body", expr(
+        "transform(sequence(0, CAST(ceil(size(toks) / 12.0) AS BIGINT) - 1), " +
+          "i -> concat_ws(' ', slice(toks, CAST(i * 12 + 1 AS INT), 12)))"))
+      .withColumn("lines", concat(
+        array(concat(lit("home about contact "), col("source"))),
+        when(col("doc_id") % 4 === 1,
+          array(concat(lit("subscribe to the "), col("source"), lit(" newsletter today"))))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")),
+        col("body"),
+        when(col("doc_id") % 10 === 3,
+          array(concat(lit("special offer code "), (col("doc_id") % 7).cast("string"))))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")),
+        array(concat(lit("copyright 2024 "), col("source"), lit(" all rights reserved")))))
+      .select(col("doc_id"), array_join(col("lines"), "\n").as("text"))
+
+  /** DuckDB mirror of `linedDocs`; opens WITH, ends with lined(doc_id, lines). */
+  private def linedCtes: String =
+    "WITH lraw AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      "lbody AS (SELECT doc_id, source, list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)), " +
+      "i -> array_to_string(toks[i*12+1:i*12+12], ' ')) AS body FROM lraw), " +
+      "lined AS (SELECT doc_id, list_concat(list_concat(list_concat(list_concat(" +
+      "['home about contact ' || source], " +
+      "CASE WHEN doc_id % 4 = 1 THEN ['subscribe to the ' || source || ' newsletter today'] ELSE [] END), " +
+      "body), " +
+      "CASE WHEN doc_id % 10 = 3 THEN ['special offer code ' || CAST(doc_id % 7 AS VARCHAR)] ELSE [] END), " +
+      "['copyright 2024 ' || source || ' all rights reserved']) AS lines FROM lbody), " +
+      "lx AS (SELECT l.doc_id, u.line, u.pos FROM lined l, " +
+      "unnest(list_transform(range(1, len(l.lines) + 1), i -> {'pos': i, 'line': l.lines[i]})) AS t(u)), " +
+      "le AS (SELECT DISTINCT doc_id, line FROM lx) "
+
   private def docsWithVariants(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
     val up = d.select((col("doc_id") + 1000000).as("doc_id"),
@@ -742,6 +784,57 @@ object SparkEntry {
           sum(when(col("final_label") === "DUPLICATE", 1L).otherwise(0L)).as("n_dup"))
         .orderBy("lang")
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // Curation emission (plans/Curate Scaladoc): the deduplicated corpus
+      // — per-cluster argmax by (n_tokens desc, url asc) via a PARTIAL
+      // aggregation (no window; mega-cluster-safe) plus unclustered
+      // passthrough. DuckDB recomputes the selection from the same
+      // 07_clusters/01_norm parquet with windowed SQL.
+      val rd = pipelineRunDir(s, dir)
+      graft.plans.Curate.keepBest(
+        s.read.parquet(s"$rd/07_clusters"), s.read.parquet(s"$rd/01_norm"))
+        .orderBy("url")
+    }),
+    "q_line_df" -> ((s, dir) => {
+      // Line document frequency over the lined web corpus (text/LineDedup
+      // Scaladoc): per-doc-distinct lines, the hot-line distribution a
+      // C4-style curation pass thresholds on. DuckDB independently
+      // re-derives the corpus AND recomputes the df.
+      graft.text.LineDedup.lineDf(linedDocs(s, dir), "text")
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("line").asc)
+    }),
+    "q_line_dedup" -> ((s, dir) => {
+      // C4/RefinedWeb line-level corpus dedup: drop lines with df >= 7
+      // (header/footer df = 25 hot; promo ~6/source and the cross-site
+      // special-offer lines df 7-8 sit exactly at the threshold — both
+      // engines must agree on the BORDERLINE classes), emit rewritten
+      // text with original line order. Spark goes through the full
+      // text -> split -> df -> anti-join -> rebuild chain; DuckDB
+      // recomputes everything from its own derivation.
+      graft.text.LineDedup.dedupLines(linedDocs(s, dir), "doc_id", "text", minDf = 7L)
+        .orderBy("doc_id")
+    }),
+    "q_winnow_fingerprints" -> ((s, dir) => {
+      // Winnowing (MOSS) local fingerprints (sig/Winnow Scaladoc): the
+      // partial-copy modality — k=4 token grams, w=4 windows, so any
+      // shared verbatim run of >= 7 tokens yields a shared fingerprint.
+      // Identity is SQL-portable by design (md5 hex prefix, lexicographic
+      // window min), so DuckDB recomputes the WHOLE chain from raw text.
+      graft.sig.Winnow.fingerprintRows(docs(s, dir), "doc_id", "text", k = 4, w = 4)
+        .orderBy("doc_id", "fp")
+    }),
+    "q_winnow_matches" -> ((s, dir) => {
+      // Partial-copy pairs over the variants corpus: docs sharing >= 2
+      // winnowed fingerprints via ONE equi-join on the fingerprint value
+      // (bucket-join, BucketGuard'ed; the guard cannot bind at this corpus
+      // size so the unguarded DuckDB quadratic is the exact oracle —
+      // same scheme as q_token_jaccard_lsh).
+      val fps = graft.sig.Winnow.fingerprintRows(
+        docsWithVariants(s, dir), "doc_id", "text", k = 4, w = 4)
+      graft.sig.Winnow.matches(s, fps, "doc_id", minShared = 2L)
+        .orderBy("a", "b")
+    }),
     "q_cluster_summary" -> ((s, dir) => {
       // T2 cluster ordering: size desc, then first member
       // (near_duplicate.py:369-371)
@@ -949,6 +1042,21 @@ object SparkEntry {
 
   private def incPq(dir: String, name: String) =
     s"read_parquet('${runDirFor(dir)}/$name/*.parquet')"
+
+  /** DuckDB mirror of sig/Winnow at (k=4, w=4): tokenize, md5-hex16 gram
+    * hashes, lexicographic window minima, distinct per doc — a full
+    * independent recomputation of the fingerprint chain. `src` must yield
+    * (doc_id, text). Opens the WITH clause; ends with CTE `we(doc_id, fp)`.
+    */
+  private def winnowCtes(src: String): String =
+    s"WITH wtok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM $src), " +
+      "wg AS (SELECT doc_id, CASE WHEN len(toks) >= 7 THEN " +
+      "list_transform(range(0, len(toks) - 3), i -> substr(md5(array_to_string(toks[i+1:i+4], ' ')), 1, 16)) " +
+      "ELSE [] END AS hs FROM wtok), " +
+      "wf AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN " +
+      "list_distinct(list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))) " +
+      "ELSE [] END AS fps FROM wg), " +
+      "we AS (SELECT doc_id, unnest(fps) AS fp FROM wf) "
 
   private def stopwordsInList: String =
     graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -1656,6 +1764,46 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN v.final_label = 'DUPLICATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
         s"FROM ${verdictsPq(dir)} v JOIN ${normPq(dir)} n ON n.url = v.a " +
         "GROUP BY n.lang ORDER BY n.lang"),
+    // Winnowing fingerprints: identity is SQL-portable by design (Winnow
+    // Scaladoc), so DuckDB recomputes the ENTIRE chain from raw text —
+    // tokenize, md5-hex16 gram hashes, lexicographic window minima,
+    // distinct — not just a downstream step.
+    "q_dedup_keep_best" ->
+      (s"WITH kcl AS (SELECT url, cluster_id, cluster_size FROM ${clustersPq(dir)}), " +
+        s"kn AS (SELECT url, n_tokens FROM ${normPq(dir)}), " +
+        "kb AS (SELECT c.cluster_id, c.cluster_size, n.url, n.n_tokens, " +
+        "row_number() OVER (PARTITION BY c.cluster_id ORDER BY n.n_tokens DESC, n.url ASC) AS rn " +
+        "FROM kcl c JOIN kn n ON n.url = c.url) " +
+        "SELECT url, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size, n_tokens " +
+        "FROM kb WHERE rn = 1 " +
+        "UNION ALL SELECT n.url, CAST(NULL AS VARCHAR) AS cluster_id, " +
+        "CAST(1 AS BIGINT) AS cluster_size, n.n_tokens " +
+        "FROM kn n WHERE n.url NOT IN (SELECT url FROM kcl) " +
+        "ORDER BY url"),
+    // Line dedup: DuckDB re-derives the lined corpus from documents
+    // (linedDocs mirror) and recomputes df / hot set / rewrite on its own.
+    "q_line_df" ->
+      (linedCtes +
+        "SELECT line, CAST(count(*) AS BIGINT) AS df FROM le " +
+        "GROUP BY line HAVING count(*) >= 2 ORDER BY df DESC, line ASC"),
+    "q_line_dedup" ->
+      (linedCtes + ", " +
+        "lhot AS (SELECT line FROM le GROUP BY line HAVING count(*) >= 7), " +
+        "lkept AS (SELECT x.* FROM lx x LEFT JOIN lhot h ON h.line = x.line WHERE h.line IS NULL), " +
+        "lagg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, " +
+        "CAST(count(*) AS BIGINT) AS n_kept FROM lkept GROUP BY doc_id), " +
+        "ltot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lx GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_lines, " +
+        "t.n_lines - coalesce(a.n_kept, 0) AS n_dropped " +
+        "FROM ltot t LEFT JOIN lagg a ON a.doc_id = t.doc_id ORDER BY t.doc_id"),
+    "q_winnow_fingerprints" ->
+      (winnowCtes("documents") +
+        "SELECT doc_id, fp FROM we ORDER BY doc_id, fp"),
+    "q_winnow_matches" ->
+      (winnowCtes(docsWithVariantsSql) +
+        "SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared " +
+        "FROM we a JOIN we b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b"),
     "q_cluster_summary" ->
       (s"SELECT cluster_id, count(*) AS cluster_size FROM ${clustersPq(dir)} " +
         "GROUP BY cluster_id ORDER BY cluster_size DESC, cluster_id ASC"),
