@@ -135,6 +135,18 @@ object ScalingBench {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"text").as[String].collect()
     val bc = spark.sparkContext.broadcast(texts)
+    // SPARK_GRAFT_MIX=indep draws every appended block INDEPENDENTLY per
+    // (base doc, replica, position). The default shared-stride mixture
+    // (h, h+37, h+74, ...) makes two docs whose start slots differ by a
+    // small multiple of 37 share most of their blocks, and the number of
+    // such "mixture siblings" per doc grows with corpus size — the exact
+    // confound the 900k density-stress row documented (pairs/doc 28 -> 35
+    // -> 68 as the corpus grew 150k -> 450k -> 900k at IDENTICAL recipe).
+    // Independent draws make ≥2 shared blocks a ~1/n² event, so pair
+    // density stays family-only and CONSTANT in corpus size: the knob that
+    // lets the scaling series vary size while holding density fixed.
+    // Default unchanged — every pinned BENCH row keeps its exact corpus.
+    val indepMix = sys.env.get("SPARK_GRAFT_MIX").contains("indep")
     pages.map { p =>
       val n = bc.value.length
       // key the mixture on (base doc id, replica): a family's variants
@@ -144,8 +156,14 @@ object ScalingBench {
       val baseId = p.url.split("/doc/")(1).split("/")(0).takeWhile(_.isDigit).toLong
       val rIdx = p.url.indexOf("#r")
       val replica = if (rIdx < 0) 0 else p.url.substring(rIdx + 2).toInt
-      val h = (math.abs(graft.pages.PagesSource.mix64(baseId + 7919L * replica)) % n).toInt
-      val extra = (1 until factor).map(j => bc.value((h + j * 37) % n))
+      val extra =
+        if (indepMix)
+          (1 until factor).map(j => bc.value(
+            (math.abs(graft.pages.PagesSource.mix64(baseId + 7919L * replica + 104729L * j)) % n).toInt))
+        else {
+          val h = (math.abs(graft.pages.PagesSource.mix64(baseId + 7919L * replica)) % n).toInt
+          (1 until factor).map(j => bc.value((h + j * 37) % n))
+        }
       p.copy(text = (p.text +: extra).mkString(" "))
     }
   }

@@ -97,6 +97,42 @@ class PlanSpec extends AnyFunSuite {
       s"verify stage planned a cross product:\n$p")
   }
 
+  test("winnow: derivation is shuffle-free; matching is an equi-join, no cartesian") {
+    // fingerprint derivation is a per-partition map + explode — it must
+    // plan WITHOUT any exchange (per-doc work, no repartition, no agg);
+    // the query's presentation orderBy is stripped by planning the
+    // derivation directly
+    val deriv = graft.sig.Winnow.fingerprintRows(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 4, 4)
+    val dp = planOf(deriv)
+    assert(!dp.contains("Exchange"), s"winnow derivation plans a shuffle:\n$dp")
+    // matching: one equi-join on the fingerprint value, never a cross join
+    val m = planOf(SparkEntry.queries("q_winnow_matches")(spark, sf))
+    assert(!m.contains("CartesianProduct") && !m.contains("BroadcastNestedLoopJoin"),
+      s"winnow matching degraded to a cross product:\n$m")
+    assert(m.contains("SortMergeJoin") || m.contains("ShuffledHashJoin") ||
+      m.contains("BroadcastHashJoin"), s"no equi-join in winnow matching:\n$m")
+  }
+
+  test("line dedup: hash-based anti-join on the hot set, no cartesian") {
+    val p = planOf(SparkEntry.queries("q_line_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line-dedup anti-join degraded to a cross product:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti-join in line dedup:\n$p")
+  }
+
+  test("keep-best emission: partial aggregation, no window operator") {
+    // the argmax must be a partial-aggregable min(struct(...)) — a window
+    // (row_number) would sort every member of every cluster in one task
+    // and a boilerplate mega-cluster would serialize the emission
+    val p = planOf(SparkEntry.queries("q_dedup_keep_best")(spark, sf))
+    assert(!p.contains("Window"), s"keep-best planned a window operator:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"keep-best lost its aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keep-best planned a cross product:\n$p")
+  }
+
   test("verify stage: no exchange mixes embedding vectors with span texts") {
     // The round-4 emb/span pass split as a machine-checked invariant: the
     // round-3 cascade shipped each pair's vectors through the span-text
