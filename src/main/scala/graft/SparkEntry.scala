@@ -1000,6 +1000,19 @@ object SparkEntry {
       Ann.assignToCentroids(s, embeddings(s, dir), s.read.parquet(cd))
         .orderBy("vec_id")
     }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup —
+      // assign to the persisted km8 centroids, within-cluster cosine >=
+      // 0.4 edges, connected components, keep the member farthest from
+      // its centroid per group. Only the k-means FIT is a persisted
+      // artifact; the DuckDB oracle recomputes the ENTIRE apply chain
+      // (argmin assignment, per-index-fold cosine, recursive-CTE CC,
+      // keep rule) from embeddings + centroids. At sf0.01: 27 semantic
+      // groups (3 triples, 24 pairs) over 500 vectors.
+      val cd = km8CentroidsDir(s, dir)
+      graft.ann.SemDedup.semDedup(s, embeddings(s, dir), s.read.parquet(cd), tau = 0.4)
+        .orderBy("vec_id")
+    }),
     "q_simhash_modes" -> ((s, dir) => {
       // G2/G3/G4: SimHash featurization modes — word shingles (unit-sep
       // joiner), char n-grams, positional bucketing (simhash_model.py:198-234)
@@ -1135,6 +1148,47 @@ object SparkEntry {
        |  COALESCE(CAST(sum(pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cpb,
        |  COALESCE(CAST(sum(tot) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ctb
        |  FROM g)""".stripMargin
+
+  /** DuckDB mirror of SemDedup.semDedup(tau=0.4, km8 centroids): the
+    * FULL apply chain recomputed from embeddings + persisted centroids —
+    * argmin assignment with squared-L2 via list_reduce (the same
+    * index-order double fold as the Scala while loop), the cluster-size
+    * guard, within-cluster cosine edges with unrolled left-associative
+    * dot/norm sums (Ann.cosineExpr's aggregate() order), connected
+    * components as a recursive CTE, and the keep-farthest-from-centroid
+    * rule (d2 DESC, vec_id ASC == Spark's min(struct(-d2, id))).
+    */
+  private def semDedupOracle(dir: String): String = {
+    val dim = 64; val tau = "0.4"; val cap = 100000L
+    def dot(a: String, b: String) =
+      (0 until dim).map(d => s"CAST($a[${d + 1}] AS DOUBLE) * CAST($b[${d + 1}] AS DOUBLE)").mkString(" + ")
+    def nrm(a: String) =
+      s"sqrt(${(0 until dim).map(d => s"CAST($a[${d + 1}] AS DOUBLE) * CAST($a[${d + 1}] AS DOUBLE)").mkString(" + ")})"
+    val d2 = "list_reduce(list_transform(range(1, len(c.centroid) + 1), " +
+      "i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), " +
+      "(x, y) -> x + y)"
+    s"WITH RECURSIVE cent AS (SELECT list_id, centroid FROM read_parquet('${annDirFor(dir)}/10_km8_centroids/*.parquet')), " +
+      s"asg AS (SELECT vec_id, list_id, d2 FROM (SELECT e.vec_id, c.list_id, $d2 AS d2, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.list_id ASC) AS rn " +
+      "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1), " +
+      s"ok AS (SELECT list_id FROM asg GROUP BY list_id HAVING count(*) >= 2 AND count(*) <= $cap), " +
+      "wv AS (SELECT a.vec_id, a.list_id, e.embedding AS vec FROM asg a " +
+      "JOIN ok USING (list_id) JOIN embeddings e USING (vec_id)), " +
+      "edges AS (SELECT l.vec_id AS a, r.vec_id AS b FROM wv l JOIN wv r " +
+      "ON l.list_id = r.list_id AND l.vec_id < r.vec_id " +
+      s"WHERE (CASE WHEN ${nrm("l.vec")} = 0 OR ${nrm("r.vec")} = 0 THEN 0.0 " +
+      s"ELSE (${dot("l.vec", "r.vec")}) / (${nrm("l.vec")} * ${nrm("r.vec")}) END) >= $tau), " +
+      "sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges), " +
+      "reach(u, c) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) " +
+      "UNION SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u), " +
+      "comp AS (SELECT u, min(c) AS rep FROM reach GROUP BY u), " +
+      "lab AS (SELECT a.vec_id, a.list_id, a.d2, COALESCE(cp.rep, a.vec_id) AS rep " +
+      "FROM asg a LEFT JOIN comp cp ON cp.u = a.vec_id), " +
+      "keepers AS (SELECT rep, vec_id AS keep_id FROM (SELECT rep, vec_id, " +
+      "row_number() OVER (PARTITION BY rep ORDER BY d2 DESC, vec_id ASC) AS rn FROM lab) WHERE rn = 1) " +
+      "SELECT l.vec_id, l.list_id, l.rep, (l.vec_id = k.keep_id) AS keep " +
+      "FROM lab l JOIN keepers k ON k.rep = l.rep ORDER BY l.vec_id"
+  }
 
   /** DuckDB mirror of Ann.lshCandidates(dim=64, bands=16, bitsPerBand=6) +
     * cosine >= 0.45 (q_embed_near_dup): the hyperplane sign patterns are
@@ -1504,6 +1558,7 @@ object SparkEntry {
         "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20) " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
     "q_embed_near_dup" -> embedNearDupOracle,
+    "q_semdedup" -> semDedupOracle(dir),
     // IVF APPLY recomputed end-to-end from the persisted index artifacts:
     // probe = 4 nearest centroids by Euclidean distance (ties by list_id),
     // candidates = corpus rows assigned to probed lists, rank = cosine

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine via SQL builtins (codegen'd, no UDF): dot / (norm*norm). */
-  private def cosineExpr(a: String, b: String) = {
+  /** Cosine via SQL builtins (codegen'd, no UDF): dot / (norm*norm).
+    * Package-visible: SemDedup scores its within-cluster pairs with the
+    * same fold so the engines' IEEE operation order stays identical.
+    */
+  private[ann] def cosineExpr(a: String, b: String) = {
     val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
     val na = expr(s"sqrt(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val nb = expr(s"sqrt(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
