@@ -815,6 +815,21 @@ object SparkEntry {
       graft.text.LineDedup.dedupLines(linedDocs(s, dir), "doc_id", "text", minDf = 7L)
         .orderBy("doc_id")
     }),
+    "q_repetition_signals" -> ((s, dir) => {
+      // Gopher-style within-doc repetition signals (text/Repetition
+      // Scaladoc) over the lined corpus with PLANTED in-doc repetition:
+      // every third doc gets its header line appended twice more, so
+      // dup-line fractions and the top-2-gram shift are exercised on a
+      // known subset. DuckDB re-derives the corpus (linedCtes), re-plants
+      // the repetition, and recomputes every count and fraction.
+      val lined = linedDocs(s, dir)
+      val rep = lined.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n"), substring_index(col("text"), "\n", 1),
+            lit("\n"), substring_index(col("text"), "\n", 1)))
+          .otherwise(col("text")))
+      graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
+    }),
     "q_winnow_fingerprints" -> ((s, dir) => {
       // Winnowing (MOSS) local fingerprints (sig/Winnow Scaladoc): the
       // partial-copy modality — k=4 token grams, w=4 windows, so any
@@ -1851,6 +1866,45 @@ object SparkEntry {
         "SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_lines, " +
         "t.n_lines - coalesce(a.n_kept, 0) AS n_dropped " +
         "FROM ltot t LEFT JOIN lagg a ON a.doc_id = t.doc_id ORDER BY t.doc_id"),
+    // Repetition signals recomputed end-to-end: corpus re-derivation
+    // (linedCtes), re-planted header repetition (doc_id % 3 = 0), line
+    // counts, gram counts with the (count DESC, gram ASC) top pick, and
+    // each fraction as ONE double division of exact integers — the same
+    // arithmetic text/Repetition.signals performs per row.
+    "q_repetition_signals" ->
+      (linedCtes + ", " +
+        "rl AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+        "THEN list_concat(lines, [lines[1], lines[1]]) ELSE lines END AS lines FROM lined), " +
+        "rlx AS (SELECT r.doc_id, u.line FROM rl r, " +
+        "unnest(list_transform(range(1, len(r.lines) + 1), i -> {'line': r.lines[i]})) AS t(u)), " +
+        "rlc AS (SELECT doc_id, line, count(*) AS c FROM rlx GROUP BY doc_id, line), " +
+        "rla AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dl, " +
+        "CAST(sum(length(line) * c) AS BIGINT) AS tc, " +
+        "CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS BIGINT) AS dc " +
+        "FROM rlc GROUP BY doc_id), " +
+        "rtt AS (SELECT doc_id, string_split_regex(trim(lower(array_to_string(lines, chr(10)))), '\\s+') AS toks FROM rl), " +
+        "rw AS (SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS wc FROM rtt), " +
+        "rg2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g " +
+        "FROM rtt WHERE len(toks) >= 2), " +
+        "rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY doc_id, g), " +
+        "rt2 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc2) WHERE rn = 1), " +
+        "rg3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g " +
+        "FROM rtt WHERE len(toks) >= 3), " +
+        "rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY doc_id, g), " +
+        "rt3 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc3) WHERE rn = 1) " +
+        "SELECT a.doc_id, a.n_lines, " +
+        "CASE WHEN a.n_lines = 0 THEN 0.0::DOUBLE ELSE CAST(a.dl AS DOUBLE) / CAST(a.n_lines AS DOUBLE) END AS dup_line_frac, " +
+        "CASE WHEN a.tc = 0 THEN 0.0::DOUBLE ELSE CAST(a.dc AS DOUBLE) / CAST(a.tc AS DOUBLE) END AS dup_line_char_frac, " +
+        "CASE WHEN t2.c IS NULL OR w.wc = 0 THEN 0.0::DOUBLE " +
+        "ELSE CAST(t2.c * length(t2.g) AS DOUBLE) / CAST(w.wc AS DOUBLE) END AS top2gram_char_frac, " +
+        "CASE WHEN t3.c IS NULL OR w.wc = 0 THEN 0.0::DOUBLE " +
+        "ELSE CAST(t3.c * length(t3.g) AS DOUBLE) / CAST(w.wc AS DOUBLE) END AS top3gram_char_frac " +
+        "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
+        "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
+        "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
     "q_winnow_fingerprints" ->
       (winnowCtes("documents") +
         "SELECT doc_id, fp FROM we ORDER BY doc_id, fp"),

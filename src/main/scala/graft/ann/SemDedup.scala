@@ -61,6 +61,28 @@ object SemDedup {
       }.toDF(idCol, "list_id", "d2")
   }
 
+  /** Within-cluster cosine >= tau pairs: the guarded per-cluster
+    * self-join (equi-join on list_id — the LSH-bucket shape; PlanSpec
+    * asserts it never degrades to a cross product). `asg` is
+    * assignWithDist's output.
+    */
+  def clusterEdges(spark: SparkSession, vectors: DataFrame, asg: DataFrame,
+                   tau: Double, maxClusterSize: Long,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val guarded = graft.lsh.BucketGuard.okBuckets(
+      spark, asg.select(lit(0).as("band"), $"list_id".as("bucket")),
+      maxClusterSize, "semdedup")
+    val withVec = asg.join(guarded.ok.select($"bucket".as("list_id")), Seq("list_id"))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), $"list_id", col(vecCol))
+    withVec.select($"list_id", col(idCol).as("a"), col(vecCol).as("va"))
+      .join(withVec.select($"list_id", col(idCol).as("b"), col(vecCol).as("vb")), Seq("list_id"))
+      .filter($"a" < $"b")
+      .filter(Ann.cosineExpr("va", "vb") >= tau)
+      .select($"a", $"b")
+  }
+
   /** @return one row per input vector: (idCol, list_id, rep, keep) —
     *         rep = min id of the semantic-dup group (own id if
     *         unclustered), keep = this member survives dedup.
@@ -72,20 +94,7 @@ object SemDedup {
     // materialized once for its three consumers (edges, labels, keep);
     // localCheckpoint over persist per the BucketGuard convention
     val asg = assignWithDist(spark, vectors, centroids, idCol, vecCol).localCheckpoint()
-
-    val guarded = graft.lsh.BucketGuard.okBuckets(
-      spark, asg.select(lit(0).as("band"), $"list_id".as("bucket")),
-      maxClusterSize, "semdedup")
-    val withVec = asg.join(guarded.ok.select($"bucket".as("list_id")), Seq("list_id"))
-      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col(idCol), $"list_id", col(vecCol))
-
-    val edges = withVec.select($"list_id", col(idCol).as("a"), col(vecCol).as("va"))
-      .join(withVec.select($"list_id", col(idCol).as("b"), col(vecCol).as("vb")), Seq("list_id"))
-      .filter($"a" < $"b")
-      .filter(Ann.cosineExpr("va", "vb") >= tau)
-      .select($"a", $"b")
-
+    val edges = clusterEdges(spark, vectors, asg, tau, maxClusterSize, idCol, vecCol)
     val comps = graft.cc.ConnectedComponents.run(spark, edges)
       .select(col("url").as(idCol), col("comp").as("rep"))
 

@@ -133,6 +133,24 @@ class PlanSpec extends AnyFunSuite {
       s"keep-best planned a cross product:\n$p")
   }
 
+  test("semdedup: within-cluster join is an equi-join on list_id, no cartesian") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      val rng = new graft.pages.PagesSource.DetRng(i)
+      (i, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0, Array.fill(8)(0.5)), (1, Array.fill(8)(-0.5)))
+      .toDF("list_id", "centroid")
+    val asg = graft.ann.SemDedup.assignWithDist(spark, vecs, cents)
+    val edges = graft.ann.SemDedup.clusterEdges(spark, vecs, asg, tau = 0.9,
+      maxClusterSize = 100000L)
+    val p = planOf(edges)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup within-cluster join degraded to a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in semdedup edges:\n$p")
+  }
+
   test("verify stage: no exchange mixes embedding vectors with span texts") {
     // The round-4 emb/span pass split as a machine-checked invariant: the
     // round-3 cascade shipped each pair's vectors through the span-text
