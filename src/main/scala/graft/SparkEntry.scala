@@ -696,6 +696,33 @@ object SparkEntry {
       graft.sources.Sources.upsertByKey(existing, updates, "doc_id")
         .orderBy("doc_id", "rev")
     }),
+    "q_merge_table" -> ((s, dir) => {
+      // S9 storage semantics end-to-end: three chained MERGEs through
+      // MergeTable's copy-on-write snapshots + atomic pointer commits,
+      // result read back FROM THE TABLE (parquet round trip included).
+      // DuckDB recomputes both chained upserts (window winner, anti-join,
+      // union) from the documents table.
+      import s.implicits._
+      val table = s"/tmp/graft_mergetbl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table)) // fresh history per run: deterministic
+      val d = docs(s, dir).select($"doc_id")
+      val base = d.withColumn("rev", lit("e"))
+      val b1 = d.filter($"doc_id" % 7 === 0).withColumn("rev", lit("b"))
+        .unionByName(d.filter($"doc_id" % 14 === 0).withColumn("rev", lit("a")))
+        .unionByName(d.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id")).withColumn("rev", lit("n")))
+      val b2 = d.filter($"doc_id" % 3 === 0).withColumn("rev", lit("c"))
+        .unionByName(d.filter($"doc_id" % 9 === 0)
+          .select(($"doc_id" + 20000000L).as("doc_id")).withColumn("rev", lit("m")))
+      graft.sources.MergeTable.merge(s, table, base, "doc_id")
+      graft.sources.MergeTable.merge(s, table, b1, "doc_id")
+      graft.sources.MergeTable.merge(s, table, b2, "doc_id")
+      graft.sources.MergeTable.read(s, table).get.orderBy("doc_id")
+    }),
     "q_minhash_est_pairs" -> ((s, dir) => {
       // G6 MinHash estimate as a driver-green row: fraction of agreeing
       // signature positions per candidate pair, recomputed by DuckDB from
@@ -1665,6 +1692,28 @@ object SparkEntry {
     // S9 upsert: DuckDB recomputes the within-batch one-row-per-key pick
     // (row_number over rev DESC — Sources.upsertByKey's window), the
     // anti-join of existing against update keys, and the union.
+    // Chained-MERGE storage row: both merge steps recomputed (window
+    // winner inside the batch, anti-join of untouched rows, union) — the
+    // Spark side additionally goes through MergeTable's snapshot write /
+    // pointer commit / parquet read-back, which is exactly what this row
+    // verifies against the pure-SQL semantics.
+    "q_merge_table" ->
+      ("WITH d AS (SELECT doc_id FROM documents), " +
+        "base AS (SELECT doc_id, 'e' AS rev FROM d), " +
+        "b1 AS (SELECT doc_id, 'b' AS rev FROM d WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id, 'a' FROM d WHERE doc_id % 14 = 0 " +
+        "UNION ALL SELECT doc_id + 10000000, 'n' FROM d WHERE doc_id % 5 = 0), " +
+        "b1w AS (SELECT doc_id, rev FROM (SELECT doc_id, rev, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rn FROM b1) WHERE rn = 1), " +
+        "m1 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM b1w) " +
+        "UNION ALL SELECT * FROM b1w), " +
+        "b2 AS (SELECT doc_id, 'c' AS rev FROM d WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id + 20000000, 'm' FROM d WHERE doc_id % 9 = 0), " +
+        "b2w AS (SELECT doc_id, rev FROM (SELECT doc_id, rev, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY rev DESC) AS rn FROM b2) WHERE rn = 1), " +
+        "m2 AS (SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM b2w) " +
+        "UNION ALL SELECT * FROM b2w) " +
+        "SELECT doc_id, rev FROM m2 ORDER BY doc_id"),
     "q_upsert_by_key" ->
       ("WITH d AS (SELECT doc_id FROM documents), " +
         "u0 AS (SELECT doc_id, 'b' AS rev FROM d WHERE doc_id % 7 = 0 " +
