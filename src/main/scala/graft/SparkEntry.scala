@@ -857,6 +857,41 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination (text/Decontaminate Scaladoc): the eval
+      // set is derived from the corpus itself — tokens 3..22 of every
+      // doc_id % 97 == 0 doc — modeling partial benchmark leakage, so
+      // hits exist without external data and DuckDB re-derives the
+      // identical eval n-gram set. n = 8 (every corpus doc has >= 10
+      // tokens, so even the shortest eval slice yields a window).
+      val d = docs(s, dir)
+      val evalDocs = d.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ",
+          slice(graft.text.Decontaminate.tokensCol(col("text")), 3, 20)).as("text"))
+      val evalNg = graft.text.Decontaminate.evalNgrams(evalDocs, "text", 8)
+      graft.text.Decontaminate.flag(d, evalNg, "doc_id", "text", 8).orderBy("doc_id")
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII redaction (text/PiiRedact Scaladoc) with PII planted as a pure
+      // function of doc_id (the corpus text itself has none): an email for
+      // doc_id % 5 = 0, an SSN-shaped id for % 9 = 0, an IPv4 for % 4 = 0.
+      // DuckDB re-plants the same strings and recomputes the sequential
+      // count/replace chain with the SAME pattern constants (interpolated
+      // from PiiRedact, not hand-copied).
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, concat(lit(" id 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit(""))).as("text"))
+      graft.text.PiiRedact.redact(planted, "text")
+        .select("doc_id", "n_emails", "n_ids", "n_ips", "text_redacted")
+        .orderBy("doc_id")
+    }),
     "q_winnow_fingerprints" -> ((s, dir) => {
       // Winnowing (MOSS) local fingerprints (sig/Winnow Scaladoc): the
       // partial-copy modality — k=4 token grams, w=4 windows, so any
@@ -1954,6 +1989,39 @@ object SparkEntry {
         "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
         "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
         "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
+    // Decontamination: DuckDB re-derives the eval slice (tokens 3..22 of
+    // doc_id % 97 = 0 docs), builds both n-gram sets with the same
+    // tokenizer (whitespace split of trim+lower), joins, and counts
+    // distinct hits per doc — the full chain, no identity reads.
+    "q_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "ev AS (SELECT toks[3:22] AS etoks FROM d WHERE doc_id % 97 = 0), " +
+        "evg AS (SELECT DISTINCT array_to_string(etoks[i:i+7], ' ') AS g FROM " +
+        "(SELECT etoks, unnest(range(1, len(etoks) - 6)) AS i FROM ev WHERE len(etoks) >= 8)), " +
+        "cg AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM d WHERE len(toks) >= 8)), " +
+        "hits AS (SELECT doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hits " +
+        "FROM cg JOIN evg USING (g) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "h.n_hits IS NOT NULL AS contaminated " +
+        "FROM d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"),
+    // PII: same planted strings, same sequential count/replace chain; the
+    // regex constants are interpolated from PiiRedact so oracle and engine
+    // cannot drift (java.util.regex / RE2 dialect intersection only).
+    "q_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END || " +
+        "CASE WHEN doc_id % 9 = 0 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text " +
+        "FROM documents), " +
+        s"r1 AS (SELECT doc_id, text, regexp_replace(text, '${graft.text.PiiRedact.EmailRe}', '${graft.text.PiiRedact.EmailTag}', 'g') AS t1 FROM p), " +
+        s"r2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '${graft.text.PiiRedact.SsnRe}', '${graft.text.PiiRedact.SsnTag}', 'g') AS t2 FROM r1) " +
+        s"SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${graft.text.PiiRedact.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t1, '${graft.text.PiiRedact.SsnRe}')) AS BIGINT) AS n_ids, " +
+        s"CAST(len(regexp_extract_all(t2, '${graft.text.PiiRedact.Ipv4Re}')) AS BIGINT) AS n_ips, " +
+        s"regexp_replace(t2, '${graft.text.PiiRedact.Ipv4Re}', '${graft.text.PiiRedact.Ipv4Tag}', 'g') AS text_redacted " +
+        "FROM r2 ORDER BY doc_id"),
     "q_winnow_fingerprints" ->
       (winnowCtes("documents") +
         "SELECT doc_id, fp FROM we ORDER BY doc_id, fp"),

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training-data pipelines (GPT-3 appendix C,
+  * Brown et al. 2020 arXiv:2005.14165; Gopher §A.4.4, Rae et al. 2021
+  * arXiv:2112.11446): flag corpus documents whose token n-grams collide
+  * with an eval/benchmark set, so leaked test data is dropped before
+  * training. The reference has no decontamination stage — this is one of
+  * the training-pipeline operators the graft adds beyond its surface.
+  *
+  * Scale shape: the two sides are wildly asymmetric — benchmarks are MBs,
+  * the corpus is ~100 TB — so the eval n-gram set is distinct-reduced and
+  * BROADCAST, and the corpus scan discovers hits in a map-side
+  * broadcast-hash-join on the exploded n-grams: the corpus side never
+  * shuffles to find matches. The only shuffle is the per-doc hit count
+  * over the (rare) matching rows, partial-aggregated map-side first. A
+  * production deployment hashes each n-gram to 64 bits (xxh64) before
+  * broadcasting to cut the broadcast payload ~10×; here the n-gram STRING
+  * is carried end-to-end so the DuckDB oracle can recompute the whole
+  * chain — the plan shape is identical either way.
+  */
+object Decontaminate {
+
+  /** SQL-portable tokenizer shared with the DuckDB oracle:
+    * whitespace-split of lower(trim(text)).
+    */
+  def tokensCol(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Space-joined n-gram array over a token-array column. Guarded for
+    * short docs: Spark's `sequence(1, k)` counts DOWN when k < 1, so the
+    * window index range must be gated on size >= n.
+    */
+  def ngramsCol(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct eval-side n-grams (one `g` string column) — the set to
+    * broadcast. Distinct BEFORE the broadcast: the eval set dedups on the
+    * small side, never against the corpus.
+    */
+  def evalNgrams(eval: DataFrame, textCol: String, n: Int): DataFrame =
+    eval.select(explode(ngramsCol(tokensCol(col(textCol)), n)).as("g")).distinct()
+
+  /** Per-doc contamination flags: (idCol, n_hits = distinct contaminated
+    * n-grams, contaminated). Every corpus doc appears exactly once; clean
+    * docs carry n_hits = 0. Both joins broadcast the small side (eval
+    * n-grams, then the hit rows), so the corpus is scanned once with no
+    * corpus-side shuffle for discovery.
+    */
+  def flag(corpus: DataFrame, evalNg: DataFrame, idCol: String,
+           textCol: String, n: Int): DataFrame = {
+    val exploded = corpus
+      .select(col(idCol), explode(ngramsCol(tokensCol(col(textCol)), n)).as("g"))
+    val hits = exploded
+      .join(broadcast(evalNg), "g")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(broadcast(hits), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"))
+  }
+}
