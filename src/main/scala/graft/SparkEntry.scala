@@ -44,6 +44,13 @@ object SparkEntry {
     (9000003L, "ko", "이것은 한국어 테스트 문서 입니다 언어 감지 평가"),
     (9000004L, "en", "the quick test and it was for this with that is in"))
 
+  /** 12-token chorus planted by q_dup_spans (shared with its oracle SQL
+    * by interpolation): vocabulary chosen so any 8 consecutive chorus
+    * tokens contain at least one word outside the corpus vocabulary.
+    */
+  private[graft] val DupChorus =
+    "please subscribe to our channel and hit the bell icon today friend"
+
   /** Deterministic messy fetch-URL per document — the input for the URL
     * canonicalization operators (q_url_canonical / q_url_dup_groups /
     * q_domain_stats). Every URL-variant class WARC refetches produce is
@@ -856,6 +863,37 @@ object SparkEntry {
             lit("\n"), substring_index(col("text"), "\n", 1)))
           .otherwise(col("text")))
       graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // Sequence packing (plans/Packing Scaladoc): docs in doc_id order
+      // cut into 256-token training sequences, n_tokens via the shared
+      // SQL-portable tokenizer. The DuckDB oracle recomputes the prefix
+      // sum with a plain window (fine at oracle scale); the engine side
+      // is the two-pass distributed scan with NO window operator
+      // (PackingSpec asserts the plan).
+      val d = docs(s, dir)
+      val withN = d.select(col("doc_id"),
+        size(graft.text.Decontaminate.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      graft.plans.Packing.assign(withN, "doc_id", "n_tokens", budget = 256L)
+        .orderBy("doc_id")
+    }),
+    "q_dup_spans" -> ((s, dir) => {
+      // ExactSubstr duplicate spans (text/DupSpans Scaladoc) with
+      // duplication planted as a pure function of doc_id: a shared
+      // 12-token chorus appended to doc_id % 10 = 0 docs (cross-doc
+      // class) and the doc's own first 8 tokens re-appended for
+      // doc_id % 25 = 0 (within-doc class). DuckDB re-plants both and
+      // recomputes windows, dup keys, the semi-join, and the
+      // gaps-and-islands maximal-span merge end-to-end. k = 8.
+      val d = docs(s, dir)
+      val toks0 = graft.text.Decontaminate.tokensCol(col("text"))
+      val planted = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 25 === 0,
+          concat(lit(" "), concat_ws(" ", slice(toks0, 1, 8)))).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit(" " + DupChorus)).otherwise(lit("")))
+        .as("text"))
+      graft.text.DupSpans.spans(planted, "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
     }),
     "q_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination (text/Decontaminate Scaladoc): the eval
@@ -1989,6 +2027,34 @@ object SparkEntry {
         "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
         "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
         "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
+    // Packing: DuckDB recomputes the global running token offset as a
+    // plain cumulative window over doc_id order and re-derives bin id and
+    // offset — integer division via // (DuckDB's / is float division).
+    "q_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM d) " +
+        "SELECT doc_id, n_tokens, CAST(s // 256 AS BIGINT) AS bin_id, " +
+        "CAST(s % 256 AS BIGINT) AS bin_offset FROM c ORDER BY doc_id"),
+    // ExactSubstr spans: DuckDB re-plants the chorus / prefix-copy,
+    // rebuilds every k=8 window, finds keys with corpus count >= 2,
+    // and merges consecutive duplicated positions per doc via the same
+    // pos - row_number() islands — the full chain, no identity reads.
+    "q_dup_spans" ->
+      ("WITH base AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks0 FROM documents), " +
+        "p AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 25 = 0 THEN ' ' || array_to_string(toks0[1:8], ' ') ELSE '' END || " +
+        s"CASE WHEN doc_id % 10 = 0 THEN ' $DupChorus' ELSE '' END AS text FROM base), " +
+        "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM p), " +
+        "w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM d WHERE len(toks) >= 8)), " +
+        "dupk AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= 2), " +
+        "dw AS (SELECT doc_id, pos FROM w WHERE g IN (SELECT g FROM dupk)), " +
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dw) " +
+        "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, " +
+        "CAST(MAX(pos) + 7 AS BIGINT) AS span_end, " +
+        "CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_len " +
+        "FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"),
     // Decontamination: DuckDB re-derives the eval slice (tokens 3..22 of
     // doc_id % 97 = 0 docs), builds both n-gram sets with the same
     // tokenizer (whitespace split of trim+lower), joins, and counts
