@@ -864,6 +864,26 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
     }),
+    "q_bucketed_join" -> ((s, dir) => {
+      // Bucketed co-located join (sources/Bucketed Scaladoc): docs and a
+      // derived token-stats table both written bucketBy(8, doc_id), then
+      // equi-joined — the join plans with ZERO Exchange
+      // (BucketedJoinSpec asserts vs an unbucketed shuffling control).
+      // The oracle recomputes the 1:1 join + n_tokens layout-agnostically,
+      // so a broken bucket round trip (lost/duplicated/misplaced rows)
+      // hash-mismatches.
+      val db = "graft_bt"
+      graft.sources.Bucketed.ensureDb(s, db, "/tmp/graft_bt_wh")
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = docs(s, dir)
+      graft.sources.Bucketed.writeTable(d, s"$db.docs_$sfx", "doc_id", 8)
+      val stats = d.select(col("doc_id"),
+        size(graft.text.Decontaminate.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      graft.sources.Bucketed.writeTable(stats, s"$db.stats_$sfx", "doc_id", 8)
+      s.table(s"$db.docs_$sfx").join(s.table(s"$db.stats_$sfx"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // Sequence packing (plans/Packing Scaladoc): docs in doc_id order
       // cut into 256-token training sequences, n_tokens via the shared
@@ -2027,6 +2047,14 @@ object SparkEntry {
         "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
         "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
         "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
+    // Bucketed join: the oracle recomputes the derived stats and the 1:1
+    // key join directly over documents — layout-agnostic, so any row
+    // lost, duplicated, or corrupted through the bucketed write/read
+    // round trip fails the hash compare.
+    "q_bucketed_join" ->
+      ("SELECT doc_id, lang, n_chars, " +
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id"),
     // Packing: DuckDB recomputes the global running token offset as a
     // plain cumulative window over doc_id order and re-derives bin id and
     // offset — integer division via // (DuckDB's / is float division).
