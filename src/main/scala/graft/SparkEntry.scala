@@ -864,6 +864,40 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
     }),
+    "q_curate_corpus" -> ((s, dir) => {
+      // Flagship composition: the full training-data curation chain in
+      // ONE call, every stage an operator this library already verifies
+      // independently — exact dedup keep-first over the variants corpus
+      // (sha256 of the simple normalization), language filter, quality
+      // gate (TextOps.quality score >= 0.8, bit-identical to the green
+      // q_quality_score chain), benchmark decontamination (drop docs
+      // hitting the eval 8-gram set), then sequence packing at 256
+      // tokens. The DuckDB oracle recomposes every stage in one WITH
+      // chain from the same builders.
+      import s.implicits._
+      val dv = docsWithVariants(s, dir)
+      val winners = dv
+        .select(col("doc_id"), sha2(simpleNormCol(col("text")), 256).as("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      val kept = dv.join(winners, Seq("doc_id"), "left_semi")
+        .filter(col("lang") === "en")
+      val qPass = kept.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, TextOps.quality(t).score) }
+        .toDF("doc_id", "q_score").filter(col("q_score") >= 0.8)
+        .select("doc_id")
+      val qkept = kept.join(qPass, Seq("doc_id"), "left_semi")
+      val evalDocs = docs(s, dir).filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ",
+          slice(graft.text.Decontaminate.tokensCol(col("text")), 3, 20)).as("text"))
+      val evalNg = graft.text.Decontaminate.evalNgrams(evalDocs, "text", 8)
+      val flags = graft.text.Decontaminate.flag(qkept, evalNg, "doc_id", "text", 8)
+      val clean = qkept.join(
+        flags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val withN = clean.select(col("doc_id"),
+        size(graft.text.Decontaminate.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      graft.plans.Packing.assign(withN, "doc_id", "n_tokens", budget = 256L)
+        .orderBy("doc_id")
+    }),
     "q_bucketed_join" -> ((s, dir) => {
       // Bucketed co-located join (sources/Bucketed Scaladoc): docs and a
       // derived token-stats table both written bucketBy(8, doc_id), then
@@ -1205,6 +1239,32 @@ object SparkEntry {
       "list_distinct(list_transform(range(0, len(hs) - 3), j -> list_aggregate(hs[j+1:j+4], 'min'))) " +
       "ELSE [] END AS fps FROM wg), " +
       "we AS (SELECT doc_id, unnest(fps) AS fp FROM wf) "
+
+  /** DuckDB quality-feature CTEs over `src` (needs doc_id, text): emits
+    * `q` and `r`, no WITH keyword — composable into larger chains
+    * (q_quality_score, q_curate_corpus). Byte-for-byte the chain the
+    * green q_quality_score row has always verified.
+    */
+  private def qualityCtes(src: String): String =
+    s"q AS (SELECT doc_id, text, length(text) AS n, " +
+      "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha, " +
+      "length(regexp_replace(text, '[^\\p{Nd}]', '', 'g')) AS digit, " +
+      "length(text) - length(regexp_replace(text, '[\\t\\n\\v\\f\\r\\x1c-\\x1f ]', '', 'g')) AS ws, " +
+      s"list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks FROM $src), " +
+      "r AS (SELECT doc_id, n, len(toks) AS ntok, " +
+      "CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_tok, " +
+      "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(alpha AS DOUBLE) / n END AS alpha_r, " +
+      "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(digit AS DOUBLE) / n END AS digit_r, " +
+      "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(n - alpha - digit - ws AS DOUBLE) / n END AS punct_r, " +
+      s"CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(len(list_filter(toks, x -> lower(x) IN $stopwordsInList)) AS DOUBLE) / len(toks) END AS sw_r " +
+      "FROM q)"
+
+  /** The composite score select expression over `r`'s columns. */
+  private val qualityScoreExpr: String =
+    "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE, " +
+      "0.4::DOUBLE * alpha_r + 0.2::DOUBLE * least(1.0::DOUBLE, sw_r * 4) + " +
+      "0.2::DOUBLE * (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) + " +
+      "0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, digit_r * 5 + punct_r * 2)))) END"
 
   private def stopwordsInList: String =
     graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -1643,25 +1703,11 @@ object SparkEntry {
         "FROM h ORDER BY doc_id"
     },
     "q_quality_score" ->
-      ("WITH q AS (SELECT doc_id, text, length(text) AS n, " +
-        "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha, " +
-        "length(regexp_replace(text, '[^\\p{Nd}]', '', 'g')) AS digit, " +
-        "length(text) - length(regexp_replace(text, '[\\t\\n\\v\\f\\r\\x1c-\\x1f ]', '', 'g')) AS ws, " +
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks FROM documents), " +
-        "r AS (SELECT doc_id, n, len(toks) AS ntok, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_tok, " +
-        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(alpha AS DOUBLE) / n END AS alpha_r, " +
-        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(digit AS DOUBLE) / n END AS digit_r, " +
-        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE CAST(n - alpha - digit - ws AS DOUBLE) / n END AS punct_r, " +
-        s"CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE ELSE CAST(len(list_filter(toks, x -> lower(x) IN $stopwordsInList)) AS DOUBLE) / len(toks) END AS sw_r " +
-        "FROM q) " +
+      ("WITH " + qualityCtes("documents") + " " +
         "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(ntok AS BIGINT) AS n_tokens, " +
         "mean_tok AS mean_token_len, alpha_r AS alpha_ratio, digit_r AS digit_ratio, " +
         "punct_r AS punct_ratio, sw_r AS stopword_ratio, " +
-        "CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE, " +
-        "0.4::DOUBLE * alpha_r + 0.2::DOUBLE * least(1.0::DOUBLE, sw_r * 4) + " +
-        "0.2::DOUBLE * (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) + " +
-        "0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, digit_r * 5 + punct_r * 2)))) END AS score " +
+        s"$qualityScoreExpr AS score " +
         "FROM r ORDER BY doc_id"),
     "q_html_meta" ->
       (s"WITH p AS (SELECT url, html, lang, decode(html) AS h FROM ${pagesPq(dir)}) " +
@@ -2047,6 +2093,32 @@ object SparkEntry {
         "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
         "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
         "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
+    // Curation composition: every stage recomposed in one WITH chain —
+    // keep-first dedup (same sha256 grouping as q_exact_dedup_keep_first),
+    // lang filter, the SHARED quality CTE builder + score expression
+    // (byte-identical to the green q_quality_score), decontamination vs
+    // the documents eval slice, and the packing cumulative window.
+    "q_curate_corpus" ->
+      (s"WITH dv AS (SELECT * FROM $docsWithVariantsSql dvx), " +
+        "win AS (SELECT min(doc_id) AS doc_id FROM dv " +
+        "GROUP BY sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))), " +
+        "kept AS (SELECT dv.doc_id, dv.text FROM dv JOIN win USING (doc_id) WHERE lang = 'en'), " +
+        qualityCtes("kept") + ", " +
+        s"qs AS (SELECT doc_id, $qualityScoreExpr AS score FROM r), " +
+        "qkept AS (SELECT kept.doc_id, kept.text FROM kept JOIN qs USING (doc_id) WHERE qs.score >= 0.8), " +
+        "dd AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM qkept), " +
+        "ev AS (SELECT string_split_regex(trim(lower(text)), '\\s+')[3:22] AS etoks FROM documents WHERE doc_id % 97 = 0), " +
+        "evg AS (SELECT DISTINCT array_to_string(etoks[i:i+7], ' ') AS g FROM " +
+        "(SELECT etoks, unnest(range(1, len(etoks) - 6)) AS i FROM ev WHERE len(etoks) >= 8)), " +
+        "cg AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM dd WHERE len(toks) >= 8)), " +
+        "bad AS (SELECT DISTINCT doc_id FROM cg JOIN evg USING (g)), " +
+        "clean AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM dd " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM clean) " +
+        "SELECT doc_id, n_tokens, CAST(s // 256 AS BIGINT) AS bin_id, " +
+        "CAST(s % 256 AS BIGINT) AS bin_offset FROM c ORDER BY doc_id"),
     // Bucketed join: the oracle recomputes the derived stats and the 1:1
     // key join directly over documents — layout-agnostic, so any row
     // lost, duplicated, or corrupted through the bucketed write/read
