@@ -22,7 +22,12 @@ for name, sql in sorted(oracles.items()):
         print(f"{name}: ORACLE SQL ERROR {str(e)[:120]}")
         fails += 1
         continue
-    spark = duckdb.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    try:
+        spark = duckdb.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"{name}: SPARK DUMP MISSING/UNREADABLE {str(e)[:120]}")
+        fails += 1
+        continue
     ocols = sorted(oracle.columns)
     scols = sorted(spark.columns)
     if ocols != scols:

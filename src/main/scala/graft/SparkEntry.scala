@@ -864,6 +864,22 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
     }),
+    "q_vocab_topk" -> ((s, dir) => {
+      // Vocabulary fitting (text/Vocab Scaladoc): top-50 corpus tokens,
+      // deterministic (cnt desc, token asc) order, 1-based ranks. DuckDB
+      // recomputes the counts and the ranking.
+      graft.text.Vocab.topK(docs(s, dir), "text", 50).orderBy("rank")
+    }),
+    "q_oov_rate" -> ((s, dir) => {
+      // OOV scoring against the fitted top-50 vocab: the vocab is tiny by
+      // construction, broadcast as a set; scoring is one shuffle-free
+      // mapPartitions (VocabSpec asserts no Exchange). All counts exact;
+      // oov_rate is one correctly-rounded division of exact longs.
+      val vocab = graft.text.Vocab.topK(docs(s, dir), "text", 50)
+        .select("token").collect().map(_.getString(0)).toSet
+      graft.text.Vocab.oovStats(docs(s, dir), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
     "q_curate_corpus" -> ((s, dir) => {
       // Flagship composition: the full training-data curation chain in
       // ONE call, every stage an operator this library already verifies
@@ -2093,6 +2109,26 @@ object SparkEntry {
         "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
         "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
         "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
+    // Vocab: DuckDB recomputes token counts and the (cnt desc, token asc)
+    // ranking; OOV re-derives the same top-50 set and re-counts per doc
+    // via explode + left join (the lambda-free SQL formulation).
+    "q_vocab_topk" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token) " +
+        "SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank " +
+        "FROM c ORDER BY rank LIMIT 50"),
+    "q_oov_rate" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token), " +
+        "v AS (SELECT token FROM (SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM c) WHERE rank <= 50), " +
+        "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "dx AS (SELECT doc_id, unnest(toks) AS tok FROM d), " +
+        "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+        "FROM dx LEFT JOIN v ON v.token = dx.tok GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, n_oov, " +
+        "CASE WHEN n_tokens = 0 THEN 0.0::DOUBLE ELSE CAST(n_oov AS DOUBLE) / n_tokens END AS oov_rate " +
+        "FROM st ORDER BY doc_id"),
     // Curation composition: every stage recomposed in one WITH chain —
     // keep-first dedup (same sha256 grouping as q_exact_dedup_keep_first),
     // lang filter, the SHARED quality CTE builder + score expression

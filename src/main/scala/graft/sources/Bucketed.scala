@@ -35,8 +35,28 @@ object Bucketed {
   /** Write `df` as a managed parquet table bucketed AND sorted by `key` —
     * sortBy keeps bucket files internally ordered so co-bucketed
     * sort-merge joins skip the per-task sort when one file per bucket.
+    *
+    * The in-memory catalog is session-scoped but the table FILES are not:
+    * a fresh session that re-creates the table would hit Spark's
+    * non-empty-location CTAS guard on the previous session's files. So
+    * the write first drops any catalog entry AND clears the stale table
+    * directory — exactly the bookkeeping a persistent metastore does for
+    * real; idempotent within and across sessions.
     */
   def writeTable(df: DataFrame, fqTable: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $fqTable")
+    fqTable.split("\\.") match {
+      case Array(db, tbl) =>
+        val loc = new java.net.URI(spark.catalog.getDatabase(db).locationUri)
+        val dir = new java.io.File(new java.io.File(loc.getPath), tbl)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
+      case _ => // default database: DROP TABLE alone is sufficient there
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(fqTable)
     ()
