@@ -163,6 +163,34 @@ object StreamingDedup {
         })
   }
 
+  /** Stateless per-row curation gates at the stream boundary — the BATCH
+    * gates applied unchanged to a stream: quality score (TextOps.quality,
+    * the q_quality_score chain), OOV rate against a broadcast vocabulary
+    * (text/Vocab semantics), and benchmark decontamination against a
+    * broadcast eval n-gram set (Decontaminate.containsFlagged — membership
+    * only, so no aggregation state). Everything is a broadcast lookup plus
+    * per-row arithmetic: the plan is map-only, runs in Append mode with no
+    * watermark and no state store, and composes with dedupStream
+    * downstream (curate first — it shrinks the dedup state's key space).
+    */
+  def curateStream(spark: SparkSession, pages: Dataset[Page],
+                   vocab: Set[String], evalNgrams: Set[String], n: Int = 8,
+                   minQuality: Double = 0.0, maxOovRate: Double = 1.0): Dataset[Page] = {
+    val bcV = spark.sparkContext.broadcast(vocab)
+    val bcE = spark.sparkContext.broadcast(evalNgrams)
+    pages.filter { p =>
+      graft.text.TextOps.quality(p.text).score >= minQuality && {
+        val toks =
+          if (p.text == null || p.text.trim.isEmpty) Array.empty[String]
+          else p.text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val oov =
+          if (toks.isEmpty) 0.0
+          else toks.count(t => !bcV.value(t)).toDouble / toks.length
+        oov <= maxOovRate
+      } && !graft.text.Decontaminate.containsFlagged(p.text, bcE.value, n)
+    }
+  }
+
   /** Watermarked sliding corpus metrics: per-window language histogram —
     * the streaming twin of q_lang_hist. Late data beyond the watermark is
     * dropped, closed windows are emitted exactly once in Append mode.

@@ -45,6 +45,31 @@ object Decontaminate {
   def evalNgrams(eval: DataFrame, textCol: String, n: Int): DataFrame =
     eval.select(explode(ngramsCol(tokensCol(col(textCol)), n)).as("g")).distinct()
 
+  /** Plain-Scala row form for streaming / map-only use: does `text`
+    * contain ANY n-gram from `evalNg`? Same tokenizer as tokensCol;
+    * membership only (no hit counts), so it needs no aggregation state —
+    * the shape a stateless stream filter requires.
+    */
+  def containsFlagged(text: String, evalNg: Set[String], n: Int): Boolean = {
+    if (text == null || evalNg.isEmpty) return false
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < n) return false
+    val sb = new StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      if (evalNg(sb.toString)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Per-doc contamination flags: (idCol, n_hits = distinct contaminated
     * n-grams, contaminated). Every corpus doc appears exactly once; clean
     * docs carry n_hits = 0. Both joins broadcast the small side (eval

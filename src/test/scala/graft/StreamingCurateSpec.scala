@@ -1,0 +1,75 @@
+package graft
+
+import graft.model.Schemas.Page
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming curation gates (StreamingDedup.curateStream): quality, OOV,
+  * and decontamination filters applied per-row at the stream boundary,
+  * composing with dedupStream.
+  */
+class StreamingCurateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def page(url: String, text: String, minute: Int) =
+    Page(url, new Timestamp(1704067200000L + minute * 60000L), Array.emptyByteArray, text, "en")
+
+  private val cleanText = "the quick brown fox and the lazy dog it was a good day"
+  private val vocab: Set[String] = cleanText.split(" ").toSet
+  private val evalNg: Set[String] = Set("one two three")
+
+  test("quality, OOV, and contamination gates each drop their row; clean passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.curateStream(spark, in.toDS(), vocab, evalNg, n = 3,
+      minQuality = 0.5, maxOovRate = 0.5)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        page("clean", cleanText, 0),
+        page("lowq", "0123456789!!!! 0000 ####", 1),
+        // 3-char tokens keep mean_token_len in the quality sweet spot
+        // (score ~0.71 >= 0.5) so THIS row isolates the OOV gate
+        page("oov", "zzz yyy xxx www vvv uuu ttt sss rrr qqq", 2),
+        page("contaminated", "it was the day and one two three it was good", 3))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM curate_out").as[String].collect().toSet
+      assert(urls == Set("clean"))
+    } finally q.stop()
+  }
+
+  test("curate composes with dedupStream: gated then deduped in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val gated = StreamingDedup.curateStream(spark, in.toDS(), vocab, evalNg, n = 3,
+      minQuality = 0.5, maxOovRate = 0.5)
+    val q = StreamingDedup.dedupStream(gated.toDF())
+      .writeStream.format("memory").queryName("curate_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        page("c1", cleanText, 0),
+        page("c2", cleanText.toUpperCase, 1), // exact dup after normalize
+        page("bad", "one two three " + cleanText, 2)) // contaminated
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM curate_dedup_out").as[String].collect().toSet
+      assert(urls.size == 1 && urls.subsetOf(Set("c1", "c2")))
+    } finally q.stop()
+  }
+
+  test("containsFlagged row form: boundaries, case, short docs") {
+    import graft.text.Decontaminate.containsFlagged
+    assert(containsFlagged("x ONE Two THREE y", evalNg, 3))
+    assert(!containsFlagged("one two four three", evalNg, 3))
+    assert(!containsFlagged("one two", evalNg, 3)) // shorter than n
+    assert(!containsFlagged(null, evalNg, 3))
+    assert(!containsFlagged("anything", Set.empty, 3))
+  }
+}
