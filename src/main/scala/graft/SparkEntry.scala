@@ -660,6 +660,63 @@ object SparkEntry {
         .filter(col("cosine") >= 0.45)
         .orderBy("a", "b")
     }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified subsampling (sample/Sampling Scaladoc):
+      // downsample the head language to 30%, keep 90% of the tail. The
+      // keep decision is md5-hash-derived, so DuckDB recomputes the exact
+      // membership — no RNG, no seed to ship, map-only plan (no shuffle).
+      graft.sample.Sampling.stratifiedSample(docs(s, dir), "lang",
+          col("doc_id").cast("string"), Map("en" -> 0.3), defaultRate = 0.9)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+    "q_temperature_mix" -> ((s, dir) => {
+      // alpha=0.5 temperature mixture over sources targeting half the
+      // corpus: small sources upweighted (rate saturates at 1.0), large
+      // sources downweighted. rate_e7 = floor(rate*1e7) quantizes the one
+      // float whose last ulp can differ cross-engine (the sqrt-sum).
+      graft.sample.Sampling.temperatureSample(
+          docs(s, dir), "source", col("doc_id").cast("string"), targetFraction = 0.5)
+        .select(col("doc_id"), col("source"),
+          floor(col("rate") * lit(1.0e7)).cast("long").as("rate_e7"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_quantiles" -> ((s, dir) => {
+      // Exact per-language length quantiles (skew/mixture diagnostics).
+      // Only exact-binary fractions (.25/.5/.75) are used, so with integer
+      // n_chars the interpolated values are exactly representable and both
+      // engines' interpolation formulas agree bit-for-bit.
+      docs(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      // Per-doc top-3 terms by tf-idf over the q_tokenize token chain.
+      // idf is the raw ratio N/df (log-free: libm log is not
+      // correctly-rounded, N/df and *tf are — the score is one division
+      // and one multiply, bit-identical cross-engine). Ties break on term.
+      val sw = graft.norm.TextNorm.DefaultStopwords.toSeq
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) >= 2 && !col("token").isin(sw: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_total"))
+      val scored = tf.join(dfc, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("n_total").cast("double") / col("df").cast("double")) * col("tf").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     // ---------- pipeline/metrics: DuckDB recomputes over stage parquet ----
     "q_lsh_candidates" -> ((s, dir) => {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/05_cand").orderBy("a", "b")
@@ -1282,6 +1339,12 @@ object SparkEntry {
       "0.2::DOUBLE * (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) + " +
       "0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, digit_r * 5 + punct_r * 2)))) END"
 
+  /** DuckDB mirror of sample/Sampling.hashU over doc_id: the same 60-bit
+    * md5-prefix uniform (hex-string cast == Spark's conv base 16→10).
+    */
+  private val hashUSql: String =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0"
+
   private def stopwordsInList: String =
     graft.norm.TextNorm.DefaultStopwords.toSeq.sorted.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -1798,6 +1861,40 @@ object SparkEntry {
         "(x, y) -> x + y) ASC, c.list_id ASC) AS rn " +
         "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1 ORDER BY vec_id"),
     "q_calibrated_verdicts" -> calibVerdictsOracle(dir),
+    // Deterministic sampling: DuckDB recomputes the md5-derived uniform
+    // (first 15 hex chars as a 60-bit int over 2^60 — bit-identical to
+    // Spark's conv(substring(md5(..),1,15),16,10)/2^60) and re-decides
+    // every membership. Rates in the temperature mixture follow the exact
+    // Spark operation order; the emitted rate is floor-quantized to e7
+    // because the sqrt-sum's addition order is engine-internal (~1 ulp).
+    "q_stratified_sample" ->
+      (s"SELECT doc_id, lang FROM documents WHERE $hashUSql < " +
+        "(CASE WHEN lang = 'en' THEN 0.3 ELSE 0.9 END) ORDER BY doc_id"),
+    "q_temperature_mix" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total, " +
+        "sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sqrt FROM c), " +
+        "r AS (SELECT source, least(1.0, 0.5 * n_total * " +
+        "(sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt) / CAST(n_docs AS DOUBLE)) AS rate FROM c, t) " +
+        "SELECT d.doc_id, d.source, CAST(floor(r.rate * 10000000.0) AS BIGINT) AS rate_e7 " +
+        s"FROM documents d JOIN r ON r.source = d.source WHERE $hashUSql < r.rate ORDER BY d.doc_id"),
+    "q_lang_quantiles" ->
+      ("SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars, " +
+        "quantile_cont(n_chars, 0.25) AS p25, quantile_cont(n_chars, 0.5) AS p50, " +
+        "quantile_cont(n_chars, 0.75) AS p75, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_tfidf_top_terms" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        s"tfx AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        s"WHERE length(token) >= 2 AND token NOT IN $stopwordsInList GROUP BY doc_id, token), " +
+        "dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfx GROUP BY token), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents), " +
+        "s AS (SELECT tfx.doc_id, tfx.token, tfx.tf, dfc.df, " +
+        "(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)) * CAST(tf AS DOUBLE) AS score " +
+        "FROM tfx JOIN dfc USING (token), n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM s) " +
+        "SELECT doc_id, CAST(rnk AS BIGINT) AS \"rank\", token, tf, df, score " +
+        "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
     // ---------- pipeline/metrics recomputed over stage parquet ----------
     // Candidate generation recomputed INDEPENDENTLY from the banding-stage
     // parquet: bucket-size guard (2 <= size <= maxBucketSize), bucket
