@@ -290,6 +290,28 @@ object SparkEntry {
     p
   }
 
+  /** Persisted logistic-regression quality-classifier weights per sf dir
+    * (ml/LogReg Scaladoc): the FIT (iterative GD — like the calibration
+    * and KMeans fits, not SQL-recomputable) writes (idx, name, w); the
+    * APPLY is a fixed-order multiply-add logit that the DuckDB oracle
+    * recomputes bit-exactly from this parquet + the shared quality CTEs.
+    */
+  def lrModelDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val p = s"/tmp/graft_lr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val tag = "v2_thr0.8_it300_lr2.0"
+    val marker = new java.io.File(s"$p/_graft_lr_$tag")
+    if (!new java.io.File(s"$p/_SUCCESS").exists() || !marker.exists()) {
+      val ex = graft.ml.LogReg.examples(s, docs(s, dir), "doc_id", "text", labelThreshold = 0.8)
+      val w = graft.ml.LogReg.fit(ex, iters = 300, lr = 2.0)
+      graft.ml.LogReg.FeatureNames.zipWithIndex
+        .map { case (n, i) => graft.ml.LogReg.Weight(i, n, w(i)) }
+        .toDF().coalesce(1).write.mode("overwrite").parquet(p)
+      java.nio.file.Files.writeString(marker.toPath, tag)
+    }
+    p
+  }
+
   /** Two persisted calibration snapshots (different sample caps) feeding the
     * M12 drift compare; DuckDB recomputes the join/deltas from the same
     * parquet.
@@ -716,6 +738,18 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+    "q_lr_quality_score" -> ((s, dir) => {
+      // Learned quality gate APPLY (ml/LogReg Scaladoc): per-row logit
+      // over the persisted fitted weights — shuffle-free map; DuckDB
+      // recomputes the same fixed-order multiply-add chain from the
+      // weights parquet + the shared quality CTEs. The emitted score is
+      // the logit (libm exp is not correctly rounded; logit >= 0 IS the
+      // p >= 0.5 decision).
+      val w = s.read.parquet(lrModelDir(s, dir)).orderBy("idx")
+        .collect().map(_.getAs[Double]("w"))
+      graft.ml.LogReg.score(s, docs(s, dir), "doc_id", "text", w)
+        .toDF().orderBy("doc_id")
     }),
     // ---------- pipeline/metrics: DuckDB recomputes over stage parquet ----
     "q_lsh_candidates" -> ((s, dir) => {
@@ -1174,6 +1208,13 @@ object SparkEntry {
     }),
     // ---------- rows-only (hash chains not SQL-expressible; oracled in
     // ScalaTest against reference-generated golden fixtures) ----------
+    "q_lr_fit" -> ((s, dir) => {
+      // the FIT half of the LR quality classifier: iterative GD, so
+      // rows-only by the same justification as q_kmeans /
+      // q_bootstrap_calibration; the APPLY half (q_lr_quality_score) is
+      // fully hash-oracled from these persisted weights.
+      s.read.parquet(lrModelDir(s, dir)).orderBy("idx")
+    }),
     "q_normalize" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1895,6 +1936,31 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM s) " +
         "SELECT doc_id, CAST(rnk AS BIGINT) AS \"rank\", token, tf, df, score " +
         "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+    // LR quality gate APPLY: DuckDB pivots the persisted weights and
+    // recomputes the logit with the exact Spark operation order (left-
+    // associated adds over per-feature products; features from the shared
+    // byte-verified quality CTEs) — bit-identical, no exp anywhere.
+    "q_lr_quality_score" ->
+      ("WITH " + qualityCtes("documents") + ", " +
+        s"wp AS (SELECT name, w FROM read_parquet('/tmp/graft_lr_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*.parquet')), " +
+        "wt AS (SELECT " +
+        "max(CASE WHEN name = 'bias' THEN w END) AS w0, " +
+        "max(CASE WHEN name = 'alpha_ratio' THEN w END) AS w1, " +
+        "max(CASE WHEN name = 'digit_ratio' THEN w END) AS w2, " +
+        "max(CASE WHEN name = 'punct_ratio' THEN w END) AS w3, " +
+        "max(CASE WHEN name = 'stopword_ratio' THEN w END) AS w4, " +
+        "max(CASE WHEN name = 'mean_tok_over10' THEN w END) AS w5, " +
+        "max(CASE WHEN name = 'len_sat500' THEN w END) AS w6, " +
+        "max(CASE WHEN name = 'sw_sat4' THEN w END) AS w7, " +
+        "max(CASE WHEN name = 'mt_in_range' THEN w END) AS w8, " +
+        "max(CASE WHEN name = 'noise_sat' THEN w END) AS w9 FROM wp), " +
+        "sc AS (SELECT doc_id, w0 + w1 * alpha_r + w2 * digit_r + w3 * punct_r + " +
+        "w4 * sw_r + w5 * (mean_tok / 10.0) + " +
+        "w6 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + 500.0)) + " +
+        "w7 * least(1.0, sw_r * 4.0) + " +
+        "w8 * (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END) + " +
+        "w9 * least(1.0, digit_r * 5.0 + punct_r * 2.0) AS logit FROM r, wt) " +
+        "SELECT doc_id, logit, logit >= 0.0 AS pass FROM sc ORDER BY doc_id"),
     // ---------- pipeline/metrics recomputed over stage parquet ----------
     // Candidate generation recomputed INDEPENDENTLY from the banding-stage
     // parquet: bucket-size guard (2 <= size <= maxBucketSize), bucket
