@@ -290,6 +290,19 @@ object SparkEntry {
     p
   }
 
+  /** Hive-partitioned corpus dump (partitionBy(lang)) per sf dir — the
+    * standard 100 TB output layout: one directory per partition key so
+    * downstream scans prune whole partitions before reading a byte
+    * (PartitionedSinkSpec asserts the PartitionFilters in the read plan).
+    * Written once, read by Spark AND DuckDB (hive_partitioning).
+    */
+  def partitionedDumpDir(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_part_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$p/_SUCCESS").exists())
+      docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(p)
+    p
+  }
+
   /** Persisted logistic-regression quality-classifier weights per sf dir
     * (ml/LogReg Scaladoc): the FIT (iterative GD — like the calibration
     * and KMeans fits, not SQL-recomputable) writes (idx, name, w); the
@@ -750,6 +763,30 @@ object SparkEntry {
         .collect().map(_.getAs[Double]("w"))
       graft.ml.LogReg.score(s, docs(s, dir), "doc_id", "text", w)
         .toDF().orderBy("doc_id")
+    }),
+    "q_bottomk_sample" -> ((s, dir) => {
+      // Consistent bottom-k: exactly 20 docs per language, chosen by
+      // smallest md5-hash — a hard per-stratum budget whose membership
+      // DuckDB re-derives (same uniform, same tiebreak).
+      graft.sample.Sampling.bottomKPerStratum(docs(s, dir), "lang",
+          col("doc_id").cast("string"), col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+    "q_partitioned_sink" -> ((s, dir) => {
+      // Hive-partitioned sink round trip with partition pruning: the
+      // lang IN (...) filter prunes directories before any file read.
+      // DuckDB independently reads the same partitioned layout
+      // (hive_partitioning) — lost/duplicated/misfiled rows or a broken
+      // partition-column round trip hash-mismatch.
+      val p = partitionedDumpDir(s, dir)
+      s.read.parquet(p).filter(col("lang").isin("en", "de"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang")
     }),
     // ---------- pipeline/metrics: DuckDB recomputes over stage parquet ----
     "q_lsh_candidates" -> ((s, dir) => {
@@ -1961,6 +1998,17 @@ object SparkEntry {
         "w8 * (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END) + " +
         "w9 * least(1.0, digit_r * 5.0 + punct_r * 2.0) AS logit FROM r, wt) " +
         "SELECT doc_id, logit, logit >= 0.0 AS pass FROM sc ORDER BY doc_id"),
+    "q_bottomk_sample" ->
+      (s"WITH u AS (SELECT doc_id, lang, $hashUSql AS u FROM documents), " +
+        "r AS (SELECT doc_id, lang, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS BIGINT) AS sample_rank FROM u) " +
+        "SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20 " +
+        "ORDER BY lang, sample_rank"),
+    "q_partitioned_sink" ->
+      (s"SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        s"FROM read_parquet('/tmp/graft_part_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*/*.parquet', hive_partitioning = true) " +
+        "WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang"),
     // ---------- pipeline/metrics recomputed over stage parquet ----------
     // Candidate generation recomputed INDEPENDENTLY from the banding-stage
     // parquet: bucket-size guard (2 <= size <= maxBucketSize), bucket

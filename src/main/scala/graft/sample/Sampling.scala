@@ -94,4 +94,20 @@ object Sampling {
     df.join(broadcast(rates.select(col(strataCol), col("rate"))), Seq(strataCol))
       .filter(hashU(keyCol) < col("rate"))
   }
+
+  /** EXACTLY k rows per stratum: the k smallest hashU values (ties broken
+    * by the tiebreak column) — consistent bottom-k sampling. Unlike rate
+    * sampling the output size is a hard budget, and the choice is stable
+    * under corpus growth: a doc leaves the sample only when a new doc
+    * with a smaller hash enters its stratum. One shuffle on the stratum
+    * key; the per-stratum ORDER BY is a window over that partition, never
+    * a global sort.
+    */
+  def bottomKPerStratum(df: DataFrame, strataCol: String, keyCol: Column,
+                        tiebreak: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(hashU(keyCol).asc, tiebreak.asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -75,6 +75,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(byS("a") - 2889L) < 160, s"stratum a: ${byS("a")}") // 4 sd
   }
 
+  test("bottom-k: exactly k per stratum; growth evicts at most one per new doc") {
+    import spark.implicits._
+    val df = corpus(300, 80)
+    val s1 = Sampling.bottomKPerStratum(df, "s", col("doc_id").cast("string"),
+      col("doc_id"), k = 25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.size == 50)
+    val byS = Sampling.bottomKPerStratum(df, "s", col("doc_id").cast("string"),
+      col("doc_id"), k = 25).groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS == Map("a" -> 25L, "b" -> 25L))
+    // consistency: adding one doc to stratum a displaces AT MOST one member
+    val grown = df.union(Seq((999999L, "a")).toDF("doc_id", "s"))
+    val s2 = Sampling.bottomKPerStratum(grown, "s", col("doc_id").cast("string"),
+      col("doc_id"), k = 25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((s1 -- s2).size <= 1, s"grew by one doc but evicted ${(s1 -- s2).size}")
+  }
+
   test("plan: stratified sampling is map-only (no Exchange)") {
     val plan = Sampling.stratifiedSample(corpus(10, 10), "s",
       col("doc_id").cast("string"), Map("a" -> 0.5), 0.5)
