@@ -64,6 +64,27 @@ class StreamingCurateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hash sampling on a stream picks exactly the batch members (stateless)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val pages = (1 to 60).map(i => page(s"u$i", s"text $i", i))
+    val in = MemoryStream[Page]
+    val q = graft.sample.Sampling.stratifiedSample(in.toDS().toDF(), "lang",
+      col("url"), Map("en" -> 0.5), 0.5)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(pages: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT url FROM sample_out").as[String].collect().toSet
+      val batch = graft.sample.Sampling.stratifiedSample(pages.toDF(), "lang",
+        col("url"), Map("en" -> 0.5), 0.5).select("url").as[String].collect().toSet
+      assert(streamed == batch, "stream membership must equal batch membership")
+      assert(batch.nonEmpty && batch.size < 60)
+    } finally q.stop()
+  }
+
   test("containsFlagged row form: boundaries, case, short docs") {
     import graft.text.Decontaminate.containsFlagged
     assert(containsFlagged("x ONE Two THREE y", evalNg, 3))
