@@ -105,6 +105,17 @@ object SparkEntry {
     * hot threshold (doc_id % 10 = 3, ~7 docs per code value), and a
     * per-site footer line.
     */
+  /** The lined corpus with PLANTED in-doc repetition (every third doc's
+    * header line appended twice more) — shared input of the repetition
+    * signals and Gopher gate queries so their oracles verify one corpus.
+    */
+  private def plantedRepetitionDocs(s: SparkSession, dir: String): DataFrame =
+    linedDocs(s, dir).withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), substring_index(col("text"), "\n", 1),
+          lit("\n"), substring_index(col("text"), "\n", 1)))
+        .otherwise(col("text")))
+
   private def linedDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), col("source"), split(trim(col("text")), "\\s+").as("toks"))
@@ -764,6 +775,31 @@ object SparkEntry {
       graft.ml.LogReg.score(s, docs(s, dir), "doc_id", "text", w)
         .toDF().orderBy("doc_id")
     }),
+    "q_subword_count" -> ((s, dir) => {
+      // BPE-ish tokenizer budgeting (TextOps.subwordCount): letter/digit/
+      // punct pieces via a shared RE2-compatible regex, ceil(len/4)
+      // subwords per piece — the cheap deterministic proxy for tokenizer
+      // cost at corpus scale. DuckDB recomputes the whole chain
+      // (regexp_extract_all + list arithmetic), promoting the function
+      // from golden-only (inside q_fingerprint) to fully oracled.
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, TextOps.subwordCount(t).toLong) }
+        .toDF("doc_id", "n_subwords").orderBy("doc_id")
+    }),
+    "q_url_blocklist" -> ((s, dir) => {
+      // Domain/pattern blocklist filtering — the first gate of every
+      // web-crawl pipeline: drop blocked hosts (canonical, so refetch
+      // variants of a blocked domain can't slip through on case/www) and
+      // a URL query pattern; keep the rest. Pure per-row projection +
+      // filter over built-in expressions, no shuffle before the dump sort.
+      val blockedHosts = Seq("src3.example.org", "src7.example.org")
+      messyUrls(s, dir)
+        .select(col("doc_id"), graft.text.UrlOps.hostOf(col("url")).as("domain"), col("url"))
+        .filter(!col("domain").isin(blockedHosts: _*) && !col("url").contains("z=9&"))
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    }),
     "q_bottomk_sample" -> ((s, dir) => {
       // Consistent bottom-k: exactly 20 docs per language, chosen by
       // smallest md5-hash — a hard per-stratum budget whose membership
@@ -984,13 +1020,19 @@ object SparkEntry {
       // dup-line fractions and the top-2-gram shift are exercised on a
       // known subset. DuckDB re-derives the corpus (linedCtes), re-plants
       // the repetition, and recomputes every count and fraction.
-      val lined = linedDocs(s, dir)
-      val rep = lined.withColumn("text",
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit("\n"), substring_index(col("text"), "\n", 1),
-            lit("\n"), substring_index(col("text"), "\n", 1)))
-          .otherwise(col("text")))
-      graft.text.Repetition.signalsDf(s, rep).orderBy("doc_id")
+      graft.text.Repetition.signalsDf(s, plantedRepetitionDocs(s, dir))
+        .orderBy("doc_id")
+    }),
+    "q_gopher_gate" -> ((s, dir) => {
+      // The Gopher repetition GATE (published Table A1 thresholds) over
+      // the same planted-repetition corpus: per-threshold booleans + the
+      // conjunction. The oracle recomputes the signals from scratch via
+      // the shared repetition CTE chain and re-applies the thresholds —
+      // the planted every-3rd-doc repetition guarantees both pass and
+      // fail rows exist.
+      graft.text.Repetition.gopherGate(
+        graft.text.Repetition.signalsDf(s, plantedRepetitionDocs(s, dir)))
+        .orderBy("doc_id")
     }),
     "q_vocab_topk" -> ((s, dir) => {
       // Vocabulary fitting (text/Vocab Scaladoc): top-50 corpus tokens,
@@ -1416,6 +1458,48 @@ object SparkEntry {
       "0.4::DOUBLE * alpha_r + 0.2::DOUBLE * least(1.0::DOUBLE, sw_r * 4) + " +
       "0.2::DOUBLE * (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) + " +
       "0.2::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, digit_r * 5 + punct_r * 2)))) END"
+
+  /** Repetition-signal recomputation chain shared by the
+    * q_repetition_signals and q_gopher_gate oracles: corpus re-derivation
+    * (linedCtes), re-planted header repetition (doc_id % 3 = 0), line
+    * counts, gram counts with the (count DESC, gram ASC) top pick, and
+    * each fraction as ONE double division of exact integers — ending in
+    * the `sig` CTE (doc_id, n_lines, four fracs).
+    */
+  private def repetitionCtes: String =
+    linedCtes + ", " +
+      "rl AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+      "THEN list_concat(lines, [lines[1], lines[1]]) ELSE lines END AS lines FROM lined), " +
+      "rlx AS (SELECT r.doc_id, u.line FROM rl r, " +
+      "unnest(list_transform(range(1, len(r.lines) + 1), i -> {'line': r.lines[i]})) AS t(u)), " +
+      "rlc AS (SELECT doc_id, line, count(*) AS c FROM rlx GROUP BY doc_id, line), " +
+      "rla AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, " +
+      "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dl, " +
+      "CAST(sum(length(line) * c) AS BIGINT) AS tc, " +
+      "CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS BIGINT) AS dc " +
+      "FROM rlc GROUP BY doc_id), " +
+      "rtt AS (SELECT doc_id, string_split_regex(trim(lower(array_to_string(lines, chr(10)))), '\\s+') AS toks FROM rl), " +
+      "rw AS (SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS wc FROM rtt), " +
+      "rg2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g " +
+      "FROM rtt WHERE len(toks) >= 2), " +
+      "rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY doc_id, g), " +
+      "rt2 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc2) WHERE rn = 1), " +
+      "rg3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g " +
+      "FROM rtt WHERE len(toks) >= 3), " +
+      "rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY doc_id, g), " +
+      "rt3 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc3) WHERE rn = 1), " +
+      "sig AS (SELECT a.doc_id, a.n_lines, " +
+      "CASE WHEN a.n_lines = 0 THEN 0.0::DOUBLE ELSE CAST(a.dl AS DOUBLE) / CAST(a.n_lines AS DOUBLE) END AS dup_line_frac, " +
+      "CASE WHEN a.tc = 0 THEN 0.0::DOUBLE ELSE CAST(a.dc AS DOUBLE) / CAST(a.tc AS DOUBLE) END AS dup_line_char_frac, " +
+      "CASE WHEN t2.c IS NULL OR w.wc = 0 THEN 0.0::DOUBLE " +
+      "ELSE CAST(t2.c * length(t2.g) AS DOUBLE) / CAST(w.wc AS DOUBLE) END AS top2gram_char_frac, " +
+      "CASE WHEN t3.c IS NULL OR w.wc = 0 THEN 0.0::DOUBLE " +
+      "ELSE CAST(t3.c * length(t3.g) AS DOUBLE) / CAST(w.wc AS DOUBLE) END AS top3gram_char_frac " +
+      "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
+      "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
+      "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id)"
 
   /** DuckDB mirror of sample/Sampling.hashU over doc_id: the same 60-bit
     * md5-prefix uniform (hex-string cast == Spark's conv base 16→10).
@@ -1998,6 +2082,19 @@ object SparkEntry {
         "w8 * (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END) + " +
         "w9 * least(1.0, digit_r * 5.0 + punct_r * 2.0) AS logit FROM r, wt) " +
         "SELECT doc_id, logit, logit >= 0.0 AS pass FROM sc ORDER BY doc_id"),
+    "q_subword_count" ->
+      ("SELECT doc_id, CAST(COALESCE(list_sum(list_transform(" +
+        "regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]'), " +
+        "x -> (length(x) + 3) // 4)), 0) AS BIGINT) AS n_subwords " +
+        "FROM documents ORDER BY doc_id"),
+    "q_url_blocklist" ->
+      (s"WITH u AS ($messyUrlSql), " +
+        "h AS (SELECT doc_id, url, regexp_replace(" +
+        "regexp_extract(lower(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), " +
+        "'^www\\.', '') AS domain FROM u) " +
+        "SELECT doc_id, domain FROM h " +
+        "WHERE domain NOT IN ('src3.example.org', 'src7.example.org') " +
+        "AND strpos(url, 'z=9&') = 0 ORDER BY doc_id"),
     "q_bottomk_sample" ->
       (s"WITH u AS (SELECT doc_id, lang, $hashUSql AS u FROM documents), " +
         "r AS (SELECT doc_id, lang, CAST(row_number() OVER " +
@@ -2287,39 +2384,21 @@ object SparkEntry {
     // each fraction as ONE double division of exact integers — the same
     // arithmetic text/Repetition.signals performs per row.
     "q_repetition_signals" ->
-      (linedCtes + ", " +
-        "rl AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
-        "THEN list_concat(lines, [lines[1], lines[1]]) ELSE lines END AS lines FROM lined), " +
-        "rlx AS (SELECT r.doc_id, u.line FROM rl r, " +
-        "unnest(list_transform(range(1, len(r.lines) + 1), i -> {'line': r.lines[i]})) AS t(u)), " +
-        "rlc AS (SELECT doc_id, line, count(*) AS c FROM rlx GROUP BY doc_id, line), " +
-        "rla AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, " +
-        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dl, " +
-        "CAST(sum(length(line) * c) AS BIGINT) AS tc, " +
-        "CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS BIGINT) AS dc " +
-        "FROM rlc GROUP BY doc_id), " +
-        "rtt AS (SELECT doc_id, string_split_regex(trim(lower(array_to_string(lines, chr(10)))), '\\s+') AS toks FROM rl), " +
-        "rw AS (SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS wc FROM rtt), " +
-        "rg2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g " +
-        "FROM rtt WHERE len(toks) >= 2), " +
-        "rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY doc_id, g), " +
-        "rt2 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc2) WHERE rn = 1), " +
-        "rg3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g " +
-        "FROM rtt WHERE len(toks) >= 3), " +
-        "rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY doc_id, g), " +
-        "rt3 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc3) WHERE rn = 1) " +
-        "SELECT a.doc_id, a.n_lines, " +
-        "CASE WHEN a.n_lines = 0 THEN 0.0::DOUBLE ELSE CAST(a.dl AS DOUBLE) / CAST(a.n_lines AS DOUBLE) END AS dup_line_frac, " +
-        "CASE WHEN a.tc = 0 THEN 0.0::DOUBLE ELSE CAST(a.dc AS DOUBLE) / CAST(a.tc AS DOUBLE) END AS dup_line_char_frac, " +
-        "CASE WHEN t2.c IS NULL OR w.wc = 0 THEN 0.0::DOUBLE " +
-        "ELSE CAST(t2.c * length(t2.g) AS DOUBLE) / CAST(w.wc AS DOUBLE) END AS top2gram_char_frac, " +
-        "CASE WHEN t3.c IS NULL OR w.wc = 0 THEN 0.0::DOUBLE " +
-        "ELSE CAST(t3.c * length(t3.g) AS DOUBLE) / CAST(w.wc AS DOUBLE) END AS top3gram_char_frac " +
-        "FROM rla a JOIN rw w ON w.doc_id = a.doc_id " +
-        "LEFT JOIN rt2 t2 ON t2.doc_id = a.doc_id " +
-        "LEFT JOIN rt3 t3 ON t3.doc_id = a.doc_id ORDER BY a.doc_id"),
+      (repetitionCtes +
+        " SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, " +
+        "top2gram_char_frac, top3gram_char_frac FROM sig ORDER BY doc_id"),
+    // The Gopher gate re-applies the published thresholds over the SAME
+    // recomputed signal chain — every comparison is a bit-identical
+    // double vs a shared literal.
+    "q_gopher_gate" ->
+      (repetitionCtes +
+        " SELECT doc_id, dup_line_frac <= 0.3 AS ok_dup_lines, " +
+        "dup_line_char_frac <= 0.2 AS ok_dup_chars, " +
+        "top2gram_char_frac <= 0.2 AS ok_top2gram, " +
+        "top3gram_char_frac <= 0.18 AS ok_top3gram, " +
+        "(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2 AND " +
+        "top2gram_char_frac <= 0.2 AND top3gram_char_frac <= 0.18) AS pass " +
+        "FROM sig ORDER BY doc_id"),
     // Vocab: DuckDB recomputes token counts and the (cnt desc, token asc)
     // ranking; OOV re-derives the same top-50 set and re-counts per doc
     // via explode + left join (the lambda-free SQL formulation).

@@ -79,4 +79,27 @@ object Repetition {
       .toDF(idCol, "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top2gram_char_frac", "top3gram_char_frac")
   }
+
+  /** Gopher Table A1 repetition thresholds (public defaults). */
+  val DupLineFracMax = 0.30
+  val DupLineCharFracMax = 0.20
+  val Top2GramCharFracMax = 0.20
+  val Top3GramCharFracMax = 0.18
+
+  /** The Gopher repetition GATE over [[signalsDf]] output: one boolean per
+    * published threshold plus the conjunction. Every comparison is a
+    * bit-identical double against a shared literal, so the gate stays
+    * cross-engine deterministic wherever the signals are. Per-row
+    * projection — adds nothing to the plan beyond the signal map.
+    */
+  def gopherGate(signals: DataFrame): DataFrame =
+    signals.select(col("doc_id"),
+      (col("dup_line_frac") <= DupLineFracMax).as("ok_dup_lines"),
+      (col("dup_line_char_frac") <= DupLineCharFracMax).as("ok_dup_chars"),
+      (col("top2gram_char_frac") <= Top2GramCharFracMax).as("ok_top2gram"),
+      (col("top3gram_char_frac") <= Top3GramCharFracMax).as("ok_top3gram"),
+      (col("dup_line_frac") <= DupLineFracMax &&
+        col("dup_line_char_frac") <= DupLineCharFracMax &&
+        col("top2gram_char_frac") <= Top2GramCharFracMax &&
+        col("top3gram_char_frac") <= Top3GramCharFracMax).as("pass"))
 }

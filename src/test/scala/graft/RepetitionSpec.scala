@@ -47,6 +47,25 @@ class RepetitionSpec extends AnyFunSuite {
     assert(t2b == 0.0 && t3b == 0.0)
   }
 
+  test("gopherGate: repeated doc fails the right thresholds, clean doc passes") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 lines, 4 of them duplicates: dup_line_frac 4/6 > 0.3 -> fail
+      1L -> "home page\nreal content sentence one here\nhome page\nhome page\nother words appear now\nhome page",
+      // no repetition, long enough that a count-1 top gram is a small
+      // char fraction (Gopher thresholds assume non-trivial length)
+      2L -> (1 to 40).map(i => s"w$i").grouped(8)
+        .map(_.mkString(" ")).mkString("\n")).toDF("doc_id", "text")
+    val got = Repetition.gopherGate(Repetition.signalsDf(spark, docs))
+      .orderBy("doc_id").collect()
+    val r1 = got(0); val r2 = got(1)
+    assert(!r1.getBoolean(1) && !r1.getBoolean(5), s"repeated doc must fail: $r1")
+    assert((2 to 5).forall(i => r2.getBoolean(i)), s"clean doc must pass all: $r2")
+    // conjunction consistency on every row
+    got.foreach(r => assert(r.getBoolean(5) ==
+      (r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))))
+  }
+
   test("signalsDf matches the per-string function row for row") {
     import spark.implicits._
     val texts = Seq(
