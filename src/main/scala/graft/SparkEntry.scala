@@ -2082,9 +2082,12 @@ object SparkEntry {
         "w8 * (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0 THEN 1.0 ELSE 0.0 END) + " +
         "w9 * least(1.0, digit_r * 5.0 + punct_r * 2.0) AS logit FROM r, wt) " +
         "SELECT doc_id, logit, logit >= 0.0 AS pass FROM sc ORDER BY doc_id"),
+    // The negated class spells out Java's \s ([ \t\n\x0B\f\r]) explicitly:
+    // DuckDB's RE2 \s omits \x0B (vertical tab), so a literal \s here would
+    // silently diverge from TextOps.subwordCount on \x0B-bearing text.
     "q_subword_count" ->
       ("SELECT doc_id, CAST(COALESCE(list_sum(list_transform(" +
-        "regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]'), " +
+        "regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]'), " +
         "x -> (length(x) + 3) // 4)), 0) AS BIGINT) AS n_subwords " +
         "FROM documents ORDER BY doc_id"),
     "q_url_blocklist" ->

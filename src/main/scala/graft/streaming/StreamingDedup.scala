@@ -172,6 +172,14 @@ object StreamingDedup {
     * per-row arithmetic: the plan is map-only, runs in Append mode with no
     * watermark and no state store, and composes with dedupStream
     * downstream (curate first — it shrinks the dedup state's key space).
+    *
+    * Batch parity, exactly: the text is tokenized ONCE with the
+    * Vocab.oovStats tokenizer (trim+lowercase+split \s+ — an empty or
+    * whitespace-only doc tokenizes to [""], which is OOV, so oov_rate is
+    * 1.0 and the doc drops whenever maxOovRate < 1, same as the batch
+    * path), and the same token array feeds the decontamination check.
+    * Null text is normalized to "" first (a stream may carry it; the
+    * batch reader never does).
     */
   def curateStream(spark: SparkSession, pages: Dataset[Page],
                    vocab: Set[String], evalNgrams: Set[String], n: Int = 8,
@@ -179,15 +187,13 @@ object StreamingDedup {
     val bcV = spark.sparkContext.broadcast(vocab)
     val bcE = spark.sparkContext.broadcast(evalNgrams)
     pages.filter { p =>
-      graft.text.TextOps.quality(p.text).score >= minQuality && {
-        val toks =
-          if (p.text == null || p.text.trim.isEmpty) Array.empty[String]
-          else p.text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        val oov =
-          if (toks.isEmpty) 0.0
-          else toks.count(t => !bcV.value(t)).toDouble / toks.length
-        oov <= maxOovRate
-      } && !graft.text.Decontaminate.containsFlagged(p.text, bcE.value, n)
+      val text = if (p.text == null) "" else p.text
+      graft.text.TextOps.quality(text).score >= minQuality && {
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val oov = toks.count(t => !bcV.value(t)).toDouble / toks.length
+        oov <= maxOovRate &&
+          !graft.text.Decontaminate.containsFlagged(toks, bcE.value, n)
+      }
     }
   }
 

@@ -52,8 +52,16 @@ object Decontaminate {
     */
   def containsFlagged(text: String, evalNg: Set[String], n: Int): Boolean = {
     if (text == null || evalNg.isEmpty) return false
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    if (toks.length < n) return false
+    containsFlagged(text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+"), evalNg, n)
+  }
+
+  /** Pre-tokenized form: callers that already hold the (trim+lowercase+
+    * split \s+) token array — e.g. the streaming curation gate, which
+    * shares one tokenization across its OOV and contamination checks —
+    * avoid re-splitting the text.
+    */
+  def containsFlagged(toks: Array[String], evalNg: Set[String], n: Int): Boolean = {
+    if (evalNg.isEmpty || toks.length < n) return false
     val sb = new StringBuilder
     var i = 0
     while (i + n <= toks.length) {

@@ -85,12 +85,38 @@ class StreamingCurateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("empty/whitespace/null text is all-OOV (batch Vocab parity) and drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Batch semantics first: Vocab.oovStats tokenizes "  " to [""], which
+    // is OOV, so oov_rate is 1.0 — the stream gate must agree.
+    val batchRate = graft.text.Vocab.oovStats(
+      Seq((1L, "  ")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .select("oov_rate").as[Double].head()
+    assert(batchRate == 1.0)
+    val in = MemoryStream[Page]
+    // minQuality very low so ONLY the OOV gate is exercised here
+    val q = StreamingDedup.curateStream(spark, in.toDS(), vocab, evalNg, n = 3,
+      minQuality = -1e9, maxOovRate = 0.99)
+      .writeStream.format("memory").queryName("curate_empty_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        page("clean", cleanText, 0),
+        page("blank", "   ", 1),
+        page("nulltext", null, 2))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM curate_empty_out").as[String].collect().toSet
+      assert(urls == Set("clean"))
+    } finally q.stop()
+  }
+
   test("containsFlagged row form: boundaries, case, short docs") {
     import graft.text.Decontaminate.containsFlagged
     assert(containsFlagged("x ONE Two THREE y", evalNg, 3))
     assert(!containsFlagged("one two four three", evalNg, 3))
     assert(!containsFlagged("one two", evalNg, 3)) // shorter than n
-    assert(!containsFlagged(null, evalNg, 3))
+    assert(!containsFlagged(null: String, evalNg, 3))
     assert(!containsFlagged("anything", Set.empty, 3))
   }
 }
