@@ -559,6 +559,16 @@ object SparkEntry {
       graft.sources.Sources.dedupIngest(batch, "text", seen)
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    "q_bloom_ingest" -> ((s, dir) => {
+      // A7 sketch-prefiltered: broadcast-Bloom splits the batch map-side,
+      // only the maybe-seen residue anti-joins; output must equal the
+      // plain anti-join exactly (the oracle is that anti-join)
+      val batch = docsWithVariants(s, dir).select(col("doc_id"), col("text"))
+      val seen = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(sha2(lower(trim(col("text"))), 256).as("content_hash")).distinct()
+      graft.sources.Sources.bloomDedupIngest(s, batch, "text", seen)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "q_csv_import" -> ((s, dir) => {
       // S5: docs written to CSV by Spark, re-read through Sources.csvDocs;
       // DuckDB reads the SAME file independently — import-path oracle
@@ -665,6 +675,28 @@ object SparkEntry {
         when(i > 0 && j > i, h.substr(i + lit(7), j - i - lit(7))).otherwise(lit("")).as("title"),
         col("lang"))
         .orderBy("url")
+    }),
+    "q_outlinks" -> ((s, dir) => {
+      // link-graph extraction: absolute anchors out of the html binary —
+      // map-only explode, recomputed by DuckDB over the same parquet
+      val pq = pagesDumpDir(s, dir)
+      graft.graph.LinkGraph.outlinks(s.read.parquet(pq)).orderBy("src", "dst")
+    }),
+    "q_host_graph" -> ((s, dir) => {
+      // host-level multigraph: one map-side-combinable groupBy over the
+      // exploded edges, hosts canonicalized via UrlOps.hostOf
+      val pq = pagesDumpDir(s, dir)
+      val lg = graft.graph.LinkGraph
+      lg.hostGraph(lg.outlinks(s.read.parquet(pq)))
+        .orderBy("src_host", "dst_host")
+    }),
+    "q_host_rank" -> ((s, dir) => {
+      // fixed-point PageRank (10 iterations, damping 85/100) on the host
+      // graph — ALL arithmetic is integer, so DuckDB re-runs the exact
+      // recurrence and the hash compare is bit-for-bit, no quantization
+      val pq = pagesDumpDir(s, dir)
+      val lg = graft.graph.LinkGraph
+      lg.hostRank(lg.hostGraph(lg.outlinks(s.read.parquet(pq))))
     }),
     "q_media_meta" -> ((s, dir) => {
       // multimodal: deterministic fake media derived from doc ids. Spark
@@ -1418,6 +1450,63 @@ object SparkEntry {
   private def incPq(dir: String, name: String) =
     s"read_parquet('${runDirFor(dir)}/$name/*.parquet')"
 
+  /** DuckDB host-canonicalization mirror of UrlOps.hostOf over a URL
+    * expression (lowercase, userinfo/port stripped, leading www. dropped) —
+    * the same regex pair the q_url_blocklist oracle verifies.
+    */
+  private def hostSql(c: String): String =
+    s"regexp_replace(regexp_extract(lower($c), " +
+      "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '^www\\.', '')"
+
+  /** Link-graph CTEs over the pages dump (no WITH keyword): `l(src, dst)`
+    * re-extracts the anchors from the html binary with the same regex as
+    * graph/LinkGraph.HrefPattern; `e(src_host, dst_host, n_links)` is the
+    * canonical-host multigraph.
+    */
+  private def linkCtes(dir: String): String =
+    s"p AS (SELECT url, decode(html) AS h FROM ${pagesPq(dir)}), " +
+      "l AS (SELECT url AS src, unnest(regexp_extract_all(h, " +
+      "'href=\"(https?://[^\"]+)\"', 1)) AS dst FROM p), " +
+      s"e AS (SELECT ${hostSql("src")} AS src_host, ${hostSql("dst")} AS dst_host, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_links FROM l GROUP BY 1, 2)"
+
+  /** Full independent recomputation of LinkGraph.hostRank: the fixed-point
+    * integer PageRank recurrence unrolled iteration-by-iteration as plain
+    * CTEs (r0..r{iters}). Every operation is BIGINT floor division —
+    * DuckDB's `//` equals Spark's `div` on non-negative operands — so the
+    * match is exact, not quantized.
+    *
+    * Every CTE is `AS MATERIALIZED`: each r_{i-1} is referenced by BOTH
+    * c_i and d_i, so DuckDB's default re-inlining grows the plan ~3× per
+    * generation — measured >120 s and a 15 GB temp spill on a 20-host
+    * graph at iters=10; materialized, the same query runs in under 1 s.
+    */
+  private def hostRankSql(dir: String, iters: Int = 10,
+                          scale: Long = 1000000000000L): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH ${linkCtes(dir).replace(" AS (SELECT", " AS MATERIALIZED (SELECT")}, ")
+    sb.append("hosts AS MATERIALIZED (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e), ")
+    sb.append("nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hosts), ")
+    sb.append("ow AS MATERIALIZED (SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS out_w FROM e GROUP BY 1), ")
+    sb.append(s"r0 AS MATERIALIZED (SELECT host, CAST($scale // n AS BIGINT) AS rank FROM hosts, nn), ")
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst_host AS host, " +
+        "CAST(SUM((r.rank * e.n_links) // ow.out_w) AS BIGINT) AS inflow " +
+        s"FROM e JOIN $p r ON e.src_host = r.host " +
+        "JOIN ow ON e.src_host = ow.host GROUP BY 1), ")
+      sb.append(s"d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang " +
+        s"FROM $p r LEFT JOIN ow ON r.host = ow.host WHERE ow.host IS NULL), ")
+      sb.append(s"r$i AS MATERIALIZED (SELECT h.host, " +
+        s"CAST((($scale * 15) // (100 * nn.n)) + " +
+        "(((COALESCE(c.inflow, 0) + (d.dang // nn.n)) * 85) // 100) AS BIGINT) AS rank " +
+        s"FROM hosts h LEFT JOIN c$i c ON h.host = c.host, d$i d, nn)")
+      sb.append(if (i < iters) ", " else " ")
+    }
+    sb.append(s"SELECT host, rank FROM r$iters ORDER BY rank DESC, host")
+    sb.toString
+  }
+
   /** DuckDB mirror of sig/Winnow at (k=4, w=4): tokenize, md5-hex16 gram
     * hashes, lexicographic window minima, distinct per doc — a full
     * independent recomputation of the fingerprint chain. `src` must yield
@@ -1850,6 +1939,14 @@ object SparkEntry {
         "firstper AS (SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1), " +
         "seen AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 = 0) " +
         "SELECT doc_id FROM firstper WHERE content_hash NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
+    // Same oracle as q_ingest_dedup on purpose: the Bloom prefilter is a
+    // physical-path optimization whose OUTPUT must equal the plain
+    // anti-join — any sketch-induced row loss/leak hash-mismatches here.
+    "q_bloom_ingest" ->
+      (s"WITH hashed AS (SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM $docsWithVariantsSql), " +
+        "firstper AS (SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1), " +
+        "seen AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT doc_id FROM firstper WHERE content_hash NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
     "q_csv_import" ->
       (s"SELECT doc_id, text FROM read_csv('/tmp/graft_csvsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}/*.csv', " +
         "header = true, all_varchar = true) ORDER BY doc_id"),
@@ -1956,6 +2053,12 @@ object SparkEntry {
         "CASE WHEN strpos(h, '<title>') > 0 AND strpos(h, '</title>') > strpos(h, '<title>') " +
         "THEN substr(h, strpos(h, '<title>') + 7, strpos(h, '</title>') - strpos(h, '<title>') - 7) ELSE '' END AS title, " +
         "lang FROM p ORDER BY url"),
+    "q_outlinks" ->
+      (s"WITH ${linkCtes(dir)} SELECT src, dst FROM l ORDER BY src, dst"),
+    "q_host_graph" ->
+      (s"WITH ${linkCtes(dir)} SELECT src_host, dst_host, n_links FROM e " +
+        "ORDER BY src_host, dst_host"),
+    "q_host_rank" -> hostRankSql(dir),
     "q_media_meta" ->
       ("WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 64) * 8 AS INTEGER) AS width, " +
         "CAST(48 + (doc_id % 48) * 8 AS INTEGER) AS height, " +

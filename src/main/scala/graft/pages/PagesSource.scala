@@ -101,9 +101,23 @@ object PagesSource {
       }.mkString(" ")
   }
 
+  /** Page markup with a deterministic outlink structure (a pure function
+    * of `site`), so the link-graph operators (graph/LinkGraph) have a
+    * non-trivial host graph to extract: two intra-site anchors (one under
+    * a `www.` variant to exercise host canonicalization), a ring link to
+    * site+1, a scatter link to site*7+3 mod 20, and a hub link every page
+    * emits to site0 — the skew that makes PageRank non-uniform.
+    */
   def htmlWrap(title: String, text: String, site: Int): Array[Byte] = {
-    val boiler = s"<nav>site $site navigation home about contact</nav>"
-    s"<html><head><title>$title</title></head><body>$boiler<main>$text</main><footer>(c) site $site</footer></body></html>"
+    val nxt = (site + 1) % 20
+    val hop = (site * 7 + 3) % 20
+    val boiler = s"<nav>site $site navigation " +
+      s"""<a href="https://site$site.example/">home</a> """ +
+      s"""<a href="https://www.site$site.example/about">about</a> contact</nav>"""
+    val footer = s"""<footer>(c) site $site <a href="https://site$nxt.example/doc/0">next</a> """ +
+      s"""<a href="https://site$hop.example/">partner</a> """ +
+      s"""<a href="https://site0.example/">network</a></footer>"""
+    s"<html><head><title>$title</title></head><body>$boiler<main>$text</main>$footer</body></html>"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 

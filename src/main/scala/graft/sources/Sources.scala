@@ -73,13 +73,54 @@ object Sources {
   /** A7 — ingest-time exact dedup: keep the first row per content hash
     * within the batch, then anti-join against the seen-hashes table.
     */
-  def dedupIngest(batch: DataFrame, textCol: String, seenHashes: DataFrame): DataFrame = {
-    val hashed = batch.withColumn("content_hash", sha2(lower(trim(col(textCol))), 256))
-    val firstPerHash = hashed
+  def dedupIngest(batch: DataFrame, textCol: String, seenHashes: DataFrame): DataFrame =
+    keepFirstPerHash(batch, textCol)
+      .join(seenHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
+  private def keepFirstPerHash(batch: DataFrame, textCol: String): DataFrame =
+    batch.withColumn("content_hash", sha2(lower(trim(col(textCol))), 256))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
           .orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
-    firstPerHash.join(seenHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
+  /** A7 at continuous-crawl scale: IDENTICAL output to dedupIngest, a
+    * different physical path. A Bloom filter built over the seen hashes is
+    * broadcast and splits the batch map-side:
+    *
+    *   - `mightContain == false` rows are DEFINITELY new (a Bloom has no
+    *     false negatives) — they bypass the anti-join entirely, never
+    *     shuffling against the seen table;
+    *   - the "maybe seen" residue (true dups + ~fpp of the batch, the
+    *     false positives) is the only part that runs the exact anti-join.
+    *
+    * At crawl scale the anti-join's left side shrinks from |batch| to
+    * |dups| + fpp·|batch| — the standard sketch-prefilter shape when the
+    * seen-hash table is join-sized but its MEMBERSHIP fits a broadcast
+    * (1e9 hashes at fpp 0.01 ≈ 1.2 GB of Bloom bits vs ~64 GB of sha256
+    * strings; beyond broadcast reach, partition the Bloom by hash prefix).
+    * The probe is a Row-lambda filter — no builtin expression probes a
+    * sketch, and the surrounding scan/window/join all stay codegen'd.
+    *
+    * Correctness does NOT depend on the Bloom: false positives are
+    * removed by the confirm anti-join, false negatives cannot occur, so
+    * the result is exact for any fpp — SourcesSpec asserts equality with
+    * dedupIngest under fpp 0.5.
+    */
+  def bloomDedupIngest(spark: SparkSession, batch: DataFrame, textCol: String,
+                       seenHashes: DataFrame, expectedItems: Long = -1L,
+                       fpp: Double = 0.01): DataFrame = {
+    val seen = seenHashes.select(col("content_hash"))
+    val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
+    val bf = seen.stat.bloomFilter("content_hash", n, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val firstPerHash = keepFirstPerHash(batch, textCol)
+    val definitelyNew = firstPerHash.filter(
+      (r: org.apache.spark.sql.Row) =>
+        !bc.value.mightContainString(r.getAs[String]("content_hash")))
+    val maybeSeen = firstPerHash.filter(
+      (r: org.apache.spark.sql.Row) =>
+        bc.value.mightContainString(r.getAs[String]("content_hash")))
+    definitelyNew.unionByName(maybeSeen.join(seen, Seq("content_hash"), "left_anti"))
   }
 }

@@ -44,6 +44,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("bloom-prefiltered ingest equals the plain anti-join, even at fpp 0.5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sha2, lower, trim}
+    val batch = (1L to 200L).map(i => (i, s"doc text number ${i % 120}"))
+      .toDF("doc_id", "text")
+    val seen = (0L until 120L by 3L).map(i => s"doc text number $i")
+      .toDF("t").select(sha2(lower(trim($"t")), 256).as("content_hash"))
+    val exact = Sources.dedupIngest(batch, "text", seen)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // default fpp and a deliberately terrible fpp: output must be exact
+    // either way — false positives are removed by the confirm anti-join
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Sources.bloomDedupIngest(spark, batch, "text", seen, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == exact, s"fpp=$fpp")
+    }
+  }
+
   test("pages source reads a parquet path with the input_hint schema") {
     val dir = Files.createTempDirectory("graft_pages").toFile.getAbsolutePath + "/pages"
     val (pages, _) = graft.pages.PagesSource.syntheticCorpus(spark, 2, 3)
