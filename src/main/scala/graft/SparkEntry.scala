@@ -698,6 +698,27 @@ object SparkEntry {
       val lg = graft.graph.LinkGraph
       lg.hostRank(lg.hostGraph(lg.outlinks(s.read.parquet(pq))))
     }),
+    "q_anchor_profile" -> ((s, dir) => {
+      // inbound anchor-text profile per target host — the what-others-call-
+      // this-page signal; DuckDB re-extracts the <a> tags with the same
+      // RE2-safe pattern and re-aggregates
+      val pq = pagesDumpDir(s, dir)
+      val lg = graft.graph.LinkGraph
+      lg.hostAnchorProfile(lg.anchors(s.read.parquet(pq)))
+        .orderBy("dst_host", "anchor")
+    }),
+    "q_rank_gated_sample" -> ((s, dir) => {
+      // link-signal curation gate: pages on the top-6 hosts by the exact
+      // integer PageRank, thinned by the md5-derived uniform at rate 0.5.
+      // Both the gate membership (integer ranks, total (rank desc, host)
+      // order) and the keep decision (md5 bits) are engine-independent, so
+      // DuckDB recomputes rank -> top-K -> join -> filter end-to-end.
+      val pq = pagesDumpDir(s, dir)
+      val lg = graft.graph.LinkGraph
+      val pages = s.read.parquet(pq)
+      val ranks = lg.hostRank(lg.hostGraph(lg.outlinks(pages)))
+      lg.rankGatedSample(pages, ranks, topK = 6, rate = 0.5).orderBy("url")
+    }),
     "q_media_meta" -> ((s, dir) => {
       // multimodal: deterministic fake media derived from doc ids. Spark
       // round-trips ENCODE -> binary column -> batched DECODE
@@ -1481,17 +1502,17 @@ object SparkEntry {
     * generation — measured >120 s and a 15 GB temp spill on a 20-host
     * graph at iters=10; materialized, the same query runs in under 1 s.
     */
-  private def hostRankSql(dir: String, iters: Int = 10,
-                          scale: Long = 1000000000000L): String = {
+  private def hostRankCtes(dir: String, iters: Int = 10,
+                           scale: Long = 1000000000000L): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH ${linkCtes(dir).replace(" AS (SELECT", " AS MATERIALIZED (SELECT")}, ")
+    sb.append(s"${linkCtes(dir).replace(" AS (SELECT", " AS MATERIALIZED (SELECT")}, ")
     sb.append("hosts AS MATERIALIZED (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e), ")
     sb.append("nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hosts), ")
     sb.append("ow AS MATERIALIZED (SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS out_w FROM e GROUP BY 1), ")
-    sb.append(s"r0 AS MATERIALIZED (SELECT host, CAST($scale // n AS BIGINT) AS rank FROM hosts, nn), ")
+    sb.append(s"r0 AS MATERIALIZED (SELECT host, CAST($scale // n AS BIGINT) AS rank FROM hosts, nn)")
     for (i <- 1 to iters) {
       val p = s"r${i - 1}"
-      sb.append(s"c$i AS MATERIALIZED (SELECT e.dst_host AS host, " +
+      sb.append(s", c$i AS MATERIALIZED (SELECT e.dst_host AS host, " +
         "CAST(SUM((r.rank * e.n_links) // ow.out_w) AS BIGINT) AS inflow " +
         s"FROM e JOIN $p r ON e.src_host = r.host " +
         "JOIN ow ON e.src_host = ow.host GROUP BY 1), ")
@@ -1501,11 +1522,14 @@ object SparkEntry {
         s"CAST((($scale * 15) // (100 * nn.n)) + " +
         "(((COALESCE(c.inflow, 0) + (d.dang // nn.n)) * 85) // 100) AS BIGINT) AS rank " +
         s"FROM hosts h LEFT JOIN c$i c ON h.host = c.host, d$i d, nn)")
-      sb.append(if (i < iters) ", " else " ")
     }
-    sb.append(s"SELECT host, rank FROM r$iters ORDER BY rank DESC, host")
     sb.toString
   }
+
+  private def hostRankSql(dir: String, iters: Int = 10,
+                          scale: Long = 1000000000000L): String =
+    s"WITH ${hostRankCtes(dir, iters, scale)} " +
+      s"SELECT host, rank FROM r$iters ORDER BY rank DESC, host"
 
   /** DuckDB mirror of sig/Winnow at (k=4, w=4): tokenize, md5-hex16 gram
     * hashes, lexicographic window minima, distinct per doc — a full
@@ -2059,6 +2083,29 @@ object SparkEntry {
       (s"WITH ${linkCtes(dir)} SELECT src_host, dst_host, n_links FROM e " +
         "ORDER BY src_host, dst_host"),
     "q_host_rank" -> hostRankSql(dir),
+    "q_anchor_profile" ->
+      // full independent re-extraction: same RE2-compatible tag pattern
+      // (character-class-bounded, so Java regex and RE2 agree), same host
+      // canonicalization chain the blocklist oracle verifies
+      (s"WITH p AS (SELECT url, decode(html) AS h FROM ${pagesPq(dir)}), " +
+        "a AS (SELECT unnest(regexp_extract_all(h, " +
+        "'<a href=\"(https?://[^\"]+)\"[^>]*>([^<]*)</a>', 0)) AS tag FROM p), " +
+        "x AS (SELECT regexp_extract(tag, '<a href=\"(https?://[^\"]+)\"[^>]*>([^<]*)</a>', 1) AS dst, " +
+        "regexp_extract(tag, '<a href=\"(https?://[^\"]+)\"[^>]*>([^<]*)</a>', 2) AS anchor FROM a) " +
+        s"SELECT ${hostSql("dst")} AS dst_host, anchor, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_anchors FROM x GROUP BY 1, 2 " +
+        "ORDER BY dst_host, anchor"),
+    "q_rank_gated_sample" ->
+      // recomputes the whole gate: the 10-generation integer PageRank CTE
+      // chain, the deterministic (rank DESC, host) top-6 cut, the host
+      // semi-join, and the md5-prefix uniform keep over the URL — zero
+      // identity reads
+      (s"WITH ${hostRankCtes(dir)}, " +
+        "topk AS (SELECT host, rank FROM r10 ORDER BY rank DESC, host LIMIT 6), " +
+        s"ph AS (SELECT url, ${hostSql("url")} AS host FROM p) " +
+        "SELECT ph.url, ph.host, topk.rank FROM ph JOIN topk ON ph.host = topk.host " +
+        "WHERE CAST('0x' || substr(md5(ph.url), 1, 15) AS BIGINT) / 1152921504606846976.0 < 0.5 " +
+        "ORDER BY url"),
     "q_media_meta" ->
       ("WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 64) * 8 AS INTEGER) AS width, " +
         "CAST(48 + (doc_id % 48) * 8 AS INTEGER) AS height, " +

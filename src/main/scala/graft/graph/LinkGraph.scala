@@ -50,6 +50,54 @@ object LinkGraph {
       explode(regexp_extract_all(col("html").cast("string"),
         lit(HrefPattern), lit(1))).as("dst"))
 
+  /** Full anchor-tag pattern: group 1 = absolute target URL, group 2 =
+    * the anchor text (tag-free inner text, the common crawl-pipeline
+    * shape). Character-class-bounded, so Java and RE2 agree exactly.
+    */
+  val AnchorPattern = "<a href=\"(https?://[^\"]+)\"[^>]*>([^<]*)</a>"
+
+  /** (src, dst, anchor) per `<a>` tag — the inbound-description signal:
+    * anchor text is what OTHER pages call a target, a relevance/quality
+    * feature content-only pipelines cannot compute. Map-only: one
+    * regexp_extract_all explode, two codegen'd group extractions.
+    */
+  def anchors(pages: DataFrame): DataFrame =
+    pages.select(col("url").as("src"),
+        explode(regexp_extract_all(col("html").cast("string"),
+          lit(AnchorPattern), lit(0))).as("tag"))
+      .select(col("src"),
+        regexp_extract(col("tag"), AnchorPattern, 1).as("dst"),
+        regexp_extract(col("tag"), AnchorPattern, 2).as("anchor"))
+
+  /** Inbound anchor-text profile per canonical target host:
+    * (dst_host, anchor, n_anchors). One map-side-combinable groupBy —
+    * output is bounded by distinct (host, anchor) pairs, not pages.
+    */
+  def hostAnchorProfile(anchorDf: DataFrame): DataFrame =
+    anchorDf
+      .select(UrlOps.hostOf(col("dst")).as("dst_host"), col("anchor"))
+      .groupBy("dst_host", "anchor")
+      .agg(count(lit(1)).as("n_anchors"))
+
+  /** Centrality-gated deterministic sample — the link signal feeding the
+    * curation gate (CCNet-style head selection): keep pages hosted on the
+    * `topK` hosts by PageRank (total order (rank desc, host asc), so the
+    * cut is deterministic), then the standard md5-derived uniform keeps
+    * each surviving URL with probability `rate` (Sampling.hashU — same
+    * decision on every run and any partitioning). Plan shape: the top-K
+    * host list is a tiny broadcast; the page side is one map-only
+    * project + broadcast-hash semi-join + per-row filter — no shuffle of
+    * the 100 TB side.
+    */
+  def rankGatedSample(pages: DataFrame, ranks: DataFrame, topK: Int,
+                      rate: Double): DataFrame = {
+    val top = ranks.orderBy(desc("rank"), asc("host")).limit(topK)
+    pages.select(col("url"), UrlOps.hostOf(col("url")).as("host"))
+      .join(broadcast(top), Seq("host"))
+      .filter(graft.sample.Sampling.hashU(col("url")) < lit(rate))
+      .select(col("url"), col("host"), col("rank"))
+  }
+
   /** Host-level multigraph: (src_host, dst_host, n_links), hosts
     * canonicalized through UrlOps.hostOf (lowercase, www-stripped).
     */

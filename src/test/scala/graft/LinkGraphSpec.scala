@@ -89,6 +89,63 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r1 == refRank(edges, 10, 1000000000000L))
   }
 
+  test("anchors extracts (src, dst, anchor); profile aggregates per canonical host") {
+    import spark.implicits._
+    val pages = Seq(
+      page("https://a.example/p1",
+        """<a href="https://b.example/x" class="nav">go b</a> <a href="https://WWW.B.example/y">go b</a>"""),
+      page("https://a.example/p2",
+        """<a href="http://c.example/"></a> <a href="/relative">skip</a> text""")).toDS()
+    val got = LinkGraph.anchors(pages.toDF())
+      .as[(String, String, String)].collect().sorted
+    assert(got.toSeq == Seq(
+      ("https://a.example/p1", "https://WWW.B.example/y", "go b"),
+      ("https://a.example/p1", "https://b.example/x", "go b"),
+      ("https://a.example/p2", "http://c.example/", "")))
+    val prof = LinkGraph.hostAnchorProfile(LinkGraph.anchors(pages.toDF()))
+      .as[(String, String, Long)].collect().sorted
+    // www./case variants collapse; same anchor text sums
+    assert(prof.toSeq == Seq(
+      ("b.example", "go b", 2L),
+      ("c.example", "", 1L)))
+  }
+
+  /** Scala mirror of sample/Sampling.hashU (60-bit md5-prefix uniform). */
+  private def refHashU(key: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) / 1152921504606846976.0d
+  }
+
+  test("rankGatedSample keeps exactly top-K-host pages passing the hash gate") {
+    import spark.implicits._
+    // ring a->b->c->a plus a hub: every host links d, d links nothing out
+    val html = Map(
+      "a" -> """<a href="https://b.example/">b</a> <a href="https://d.example/">d</a>""",
+      "b" -> """<a href="https://c.example/">c</a> <a href="https://d.example/">d</a>""",
+      "c" -> """<a href="https://a.example/">a</a> <a href="https://d.example/">d</a>""",
+      "d" -> "no links")
+    val pages = (for {
+      h <- Seq("a", "b", "c", "d"); i <- 0 until 8
+    } yield page(s"https://$h.example/doc/$i", html(h))).toDS().toDF()
+    val ranks = LinkGraph.hostRank(LinkGraph.hostGraph(LinkGraph.outlinks(pages)))
+    val rankMap = ranks.as[(String, Long)].collect().toMap
+    // d receives from all three, so it is the unique top-1 host
+    assert(rankMap("d.example") > rankMap.removed("d.example").values.max)
+    val got = LinkGraph.rankGatedSample(pages, ranks, topK = 1, rate = 0.5)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val want = (0 until 8).map(i => s"https://d.example/doc/$i")
+      .filter(u => refHashU(u) < 0.5)
+      .map(u => (u, "d.example", rankMap("d.example")))
+    assert(want.nonEmpty && want.size < 8) // the gate actually splits
+    assert(got == want)
+    // deterministic under repartitioning
+    val got32 = LinkGraph.rankGatedSample(pages.repartition(32), ranks, 1, 0.5)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(got32 == got)
+  }
+
   test("rank mass is approximately conserved (floors only leak downward)") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
