@@ -151,6 +151,30 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"no equi-join in semdedup edges:\n$p")
   }
 
+  test("revisit keep-latest: exactly one hash exchange on url, never a global sort") {
+    // per-URL survivor selection must shuffle ONCE on url and nowhere
+    // else — the refetch derivation is map-only, and the window's sort is
+    // within url groups (bounded by snapshot count), never a global order
+    val pq = SparkEntry.pagesDumpDir(spark, sf)
+    val rev = graft.pages.Revisits
+    val p = planOf(rev.keepLatestFetch(rev.withRefetches(spark.read.parquet(pq), 0.3)))
+    val exchanges = p.linesIterator.filter(_.matches(".*\\(\\d+\\) Exchange.*")).toSeq
+    assert(exchanges.size == 1, s"expected 1 exchange, got ${exchanges.size}:\n$p")
+    assert(p.contains("hashpartitioning(url"), s"not hash-partitioned on url:\n$p")
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"),
+      s"global sort leaked into keep-latest:\n$p")
+  }
+
+  test("shard assignment plans no window and no single-partition exchange") {
+    // the global rank comes from the two-pass prefix scan over a
+    // range-partitioned checkpoint — a Window (or Exchange SinglePartition)
+    // here would mean the rank collapsed to one task
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planOf(graft.sources.Sharding.assignShards(df, "doc_id", "n_chars", 8))
+    assert(!p.contains("Window"), s"sharding planned a window:\n$p")
+    assert(!p.contains("SinglePartition"), s"sharding planned a 1-partition exchange:\n$p")
+  }
+
   test("verify stage: no exchange mixes embedding vectors with span texts") {
     // The round-4 emb/span pass split as a machine-checked invariant: the
     // round-3 cascade shipped each pair's vectors through the span-text
