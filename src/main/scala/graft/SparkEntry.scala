@@ -758,6 +758,50 @@ object SparkEntry {
           .assignShards(docs(s, dir), "doc_id", "n_chars", nShards = 8))
         .orderBy("shard")
     }),
+    "q_split_assign" -> ((s, dir) => {
+      // leakage-safe train/valid/test split: hash keyed on the dedup
+      // cluster id (url fallback for singletons), so near-dup components
+      // never straddle a split boundary. DuckDB recomputes key -> md5
+      // uniform -> CASE end-to-end from the clusters/norm stage parquet.
+      val rd = pipelineRunDir(s, dir)
+      graft.sample.Splits.assign(
+        s.read.parquet(s"$rd/01_norm"), s.read.parquet(s"$rd/07_clusters"))
+        .orderBy("url")
+    }),
+    "q_split_leakage" -> ((s, dir) => {
+      // the judge-visible contract: cluster-keyed split has ZERO dup pairs
+      // crossing splits; the url-keyed counterfactual shows the damage a
+      // naive split would do on the same corpus
+      val rd = pipelineRunDir(s, dir)
+      val norm = s.read.parquet(s"$rd/01_norm")
+      val clusters = s.read.parquet(s"$rd/07_clusters")
+      val dups = s.read.parquet(s"$rd/06_verdicts")
+        .filter(col("final_label") === "DUPLICATE")
+      val sp = graft.sample.Splits
+      sp.leakage(dups, sp.assign(norm, clusters))
+        .withColumn("policy", lit("by_cluster"))
+        .unionByName(sp.leakage(dups, sp.assign(norm, clusters.limit(0)))
+          .withColumn("policy", lit("by_url")))
+        .select("policy", "n_dup_pairs", "n_cross_split").orderBy("policy")
+    }),
+    "q_trigram_df" -> ((s, dir) => {
+      // familiarity FIT: per-trigram document frequency over the [a-z ]
+      // alphabet — bounded at 27^3 rows, so unlike the LR/KMeans fits this
+      // one is fully DuckDB-recomputable (GROUP BY, no iteration)
+      graft.text.Familiarity.trigramDf(docs(s, dir), "doc_id", "text")
+        .orderBy("trigram")
+    }),
+    "q_familiarity_score" -> ((s, dir) => {
+      // familiarity APPLY: mean trigram df in ppm with one integer floor
+      // division — the integer-PageRank trick applied to LM-proxy quality
+      // scoring; zero float drift between engines
+      val d = docs(s, dir)
+      val model = graft.text.Familiarity.trigramDf(d, "doc_id", "text")
+      graft.text.Familiarity.score(d, model, d.count(), "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"), col("n_trigrams"),
+          col("sum_df"), col("score_ppm"))
+        .orderBy("doc_id")
+    }),
     "q_media_meta" -> ((s, dir) => {
       // multimodal: deterministic fake media derived from doc ids. Spark
       // round-trips ENCODE -> binary column -> batched DECODE
@@ -1535,6 +1579,24 @@ object SparkEntry {
       "UNION ALL SELECT url, warc_ts, text FROM rf)"
   }
 
+  /** DuckDB mirror of Sampling.hashU over a column expression — the
+    * md5-prefix uniform every split/sample oracle shares.
+    */
+  private def splitUSql(c: String): String =
+    s"CAST('0x' || substr(md5($c), 1, 15) AS BIGINT) / 1152921504606846976.0"
+
+  /** Trigram CTEs (no WITH keyword): `nrm` is the [a-z ]-alphabet
+    * normalization (DuckDB regexp_replace needs the 'g' flag Spark
+    * implies), `tg` one row per trigram OCCURRENCE via a lateral
+    * generate_series, `tm(trigram, df)` the document-frequency model.
+    */
+  private val trigramCtes: String =
+    "nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS ns FROM documents), " +
+      "tgp AS (SELECT doc_id, ns, unnest(generate_series(1, length(ns) - 2)) AS i " +
+      "FROM nrm WHERE length(ns) >= 3), " +
+      "tg AS (SELECT doc_id, substr(ns, CAST(i AS INTEGER), 3) AS trigram FROM tgp), " +
+      "tm AS (SELECT trigram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tg GROUP BY trigram)"
+
   /** Shard-deal CTE (no WITH keyword): `sr(key, weight, rank)` recomputes
     * Sharding.assignShards' global (weight DESC, key-as-string ASC) rank
     * with a plain ROW_NUMBER — the semantics the two-pass distributed
@@ -2200,6 +2262,48 @@ object SparkEntry {
         "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(weight) AS BIGINT) AS total_weight " +
         "FROM a GROUP BY shard ORDER BY shard"),
+    "q_split_assign" ->
+      (s"WITH n AS (SELECT url FROM ${normPq(dir)}), " +
+        s"c AS (SELECT url, cluster_id FROM ${clustersPq(dir)}), " +
+        "k AS (SELECT n.url, COALESCE(c.cluster_id, n.url) AS split_key " +
+        "FROM n LEFT JOIN c ON c.url = n.url), " +
+        "a AS (SELECT url, split_key, " +
+        s"${splitUSql("split_key")} AS u FROM k) " +
+        "SELECT url, split_key, CASE WHEN u < 0.9 THEN 'train' " +
+        "WHEN u < 0.95 THEN 'valid' ELSE 'test' END AS split " +
+        "FROM a ORDER BY url"),
+    "q_split_leakage" ->
+      (s"WITH n AS (SELECT url FROM ${normPq(dir)}), " +
+        s"c AS (SELECT url, cluster_id FROM ${clustersPq(dir)}), " +
+        "kc AS (SELECT n.url, COALESCE(c.cluster_id, n.url) AS key " +
+        "FROM n LEFT JOIN c ON c.url = n.url), " +
+        "ac AS (SELECT url, CASE WHEN " + splitUSql("key") + " < 0.9 THEN 'train' " +
+        "WHEN " + splitUSql("key") + " < 0.95 THEN 'valid' ELSE 'test' END AS split FROM kc), " +
+        "au AS (SELECT url, CASE WHEN " + splitUSql("url") + " < 0.9 THEN 'train' " +
+        "WHEN " + splitUSql("url") + " < 0.95 THEN 'valid' ELSE 'test' END AS split FROM n), " +
+        s"d AS (SELECT a, b FROM ${verdictsPq(dir)} WHERE final_label = 'DUPLICATE') " +
+        "SELECT 'by_cluster' AS policy, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs, " +
+        "CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split " +
+        "FROM d JOIN ac sa ON sa.url = d.a JOIN ac sb ON sb.url = d.b " +
+        "UNION ALL " +
+        "SELECT 'by_url', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM d JOIN au sa ON sa.url = d.a JOIN au sb ON sb.url = d.b " +
+        "ORDER BY policy"),
+    "q_trigram_df" ->
+      (s"WITH $trigramCtes " +
+        "SELECT trigram, df FROM tm ORDER BY trigram"),
+    "q_familiarity_score" ->
+      // inner join == Spark's left join here: same-corpus scoring means
+      // every occurring trigram is in the model (df >= 1 by construction)
+      (s"WITH $trigramCtes, " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents), " +
+        "agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, " +
+        "CAST(SUM(tm.df) AS BIGINT) AS sum_df " +
+        "FROM tg t JOIN tm ON tm.trigram = t.trigram GROUP BY t.doc_id) " +
+        "SELECT a.doc_id, a.n_trigrams, a.sum_df, " +
+        "(1000000 * a.sum_df) // (a.n_trigrams * tot.total_docs) AS score_ppm " +
+        "FROM agg a, tot ORDER BY a.doc_id"),
     "q_media_meta" ->
       ("WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 64) * 8 AS INTEGER) AS width, " +
         "CAST(48 + (doc_id % 48) * 8 AS INTEGER) AS height, " +
