@@ -988,6 +988,31 @@ object SparkEntry {
         maxBucketSize = DedupConfig.balanced.maxBucketSize)
         .orderBy("a", "b")
     }),
+    "q_edit_verify" -> ((s, dir) => {
+      // Bounded-prefix edit-distance verify: the precise tier a dedup
+      // pipeline can only afford on CANDIDATE pairs, never corpus pairs —
+      // levenshtein over the first 160 chars of each 05_cand pair's
+      // normalized text, near-exact decided by integer cross-multiply
+      // (lev*4 <= max(len), i.e. distance <= 25% of the longer prefix).
+      // Cost is O(cap^2) per candidate, map-side after the two id joins;
+      // DuckDB recomputes prefix, distance, and decision from the same
+      // stage parquet (both engines implement classic unit-cost
+      // Levenshtein; the ASCII norm_text keeps char counting identical).
+      val rd = pipelineRunDir(s, dir)
+      val cand = s.read.parquet(s"$rd/05_cand").select("a", "b")
+      val pref = s.read.parquet(s"$rd/01_norm")
+        .select(col("url"), substring(col("norm_text"), 1, 160).as("pref"))
+      cand
+        .join(pref.select(col("url").as("a"), col("pref").as("pa")), "a")
+        .join(pref.select(col("url").as("b"), col("pref").as("pb")), "b")
+        .select(col("a"), col("b"),
+          length(col("pa")).cast("int").as("len_a"),
+          length(col("pb")).cast("int").as("len_b"),
+          levenshtein(col("pa"), col("pb")).as("lev"))
+        .withColumn("near_exact",
+          col("lev") * 4 <= greatest(col("len_a"), col("len_b")))
+        .orderBy("a", "b")
+    }),
     "q_upsert_by_key" -> ((s, dir) => {
       // S9 upsert semantics as a driver-green row: updates win per key
       // (one row per key picked deterministically inside the batch),
@@ -1285,6 +1310,61 @@ object SparkEntry {
       val evalNg = graft.text.Decontaminate.evalNgrams(evalDocs, "text", 8)
       graft.text.Decontaminate.flag(d, evalNg, "doc_id", "text", 8).orderBy("doc_id")
     }),
+    "q_contain_decontaminate" -> ((s, dir) => {
+      // Containment (fuzzy) decontamination (Decontaminate.containment
+      // Scaladoc): same self-derived eval set as q_decontaminate, but the
+      // flag fires on the FRACTION of a doc's distinct 8-grams found in
+      // the eval set (>= 1/5, decided by integer cross-multiplication) —
+      // the paraphrase-tolerant gate; q_decontaminate's any-hit flag is
+      // its verbatim superset.
+      val d = docs(s, dir)
+      val evalDocs = d.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ",
+          slice(graft.text.Decontaminate.tokensCol(col("text")), 3, 20)).as("text"))
+      val evalNg = graft.text.Decontaminate.evalNgrams(evalDocs, "text", 8)
+      graft.text.Decontaminate.containment(d, evalNg, "doc_id", "text", 8,
+        thrNum = 1, thrDen = 5).orderBy("doc_id")
+    }),
+    "q_cms_sketch" -> ((s, dir) => {
+      // Count-min sketch (sketch/Sketches Scaladoc): d=4 x w=512 integer
+      // counters over every token occurrence — the mergeable frequency
+      // summary whose state is O(d*w), not O(vocab). Hashes are the
+      // md5-prefix 60-bit uniform and cells are plain counts, so DuckDB
+      // recomputes the ENTIRE sketch bit-for-bit (most sketches can't be
+      // oracled; this one is deterministic by construction).
+      val toks = docs(s, dir).select(
+        explode(graft.text.Decontaminate.tokensCol(col("text"))).as("tok"))
+      graft.sketch.Sketches.countMinSketch(toks, "tok", d = 4, w = 512)
+        .orderBy("r", "bucket")
+    }),
+    "q_cms_estimate" -> ((s, dir) => {
+      // CMS point estimates joined to exact counts for every token with
+      // true frequency >= 30: est >= true always (the CMS one-sided
+      // guarantee — SketchSpec asserts it over the whole vocabulary).
+      // The broadcast-probe shape is the scale path: the sketch (<= d*w
+      // rows) broadcasts, the query side never shuffles.
+      val toks = docs(s, dir).select(
+        explode(graft.text.Decontaminate.tokensCol(col("text"))).as("tok"))
+      val sketch = graft.sketch.Sketches.countMinSketch(toks, "tok", d = 4, w = 512)
+      val heavy = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        .filter(col("true_cnt") >= 30)
+      graft.sketch.Sketches.countMinEstimate(sketch, heavy.select("tok"), "tok", d = 4, w = 512)
+        .join(heavy, "tok")
+        .select(col("tok"), col("true_cnt"), col("est"))
+        .orderBy("tok")
+    }),
+    "q_hll_registers" -> ((s, dir) => {
+      // HyperLogLog registers (p=8, m=256) over the corpus's distinct
+      // tokens. Register contents are integer-exact (60-bit md5 uniform;
+      // rho = 53 - base-2 digit count of the high 52 bits), so DuckDB
+      // recomputes them; only the float ESTIMATOR stays driver-side
+      // (SketchSpec: within 10% of the exact distinct count, and
+      // registers merge by MAX across shards).
+      val toks = docs(s, dir).select(
+          explode(graft.text.Decontaminate.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      graft.sketch.Sketches.hllRegisters(toks, "tok", p = 8).orderBy("idx")
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // PII redaction (text/PiiRedact Scaladoc) with PII planted as a pure
       // function of doc_id (the corpus text itself has none): an email for
@@ -1578,6 +1658,17 @@ object SparkEntry {
       "allf AS (SELECT url, warc_ts, text FROM p " +
       "UNION ALL SELECT url, warc_ts, text FROM rf)"
   }
+
+  /** Count-min CTEs (no WITH keyword) shared by the sketch queries: `t` is
+    * the corpus token-occurrence stream (the q_decontaminate tokenizer),
+    * `pr` addresses each occurrence in all 4 hash rows with the md5-prefix
+    * 60-bit bucket hash, `sk` is the sketch (r, bucket, cnt).
+    */
+  private val cmsCtes: String =
+    "t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents), " +
+      "pr AS (SELECT tok, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 512 AS bucket " +
+      "FROM t, (SELECT unnest(range(0, 4)) AS r)), " +
+      "sk AS (SELECT CAST(r AS INTEGER) AS r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY r, bucket)"
 
   /** DuckDB mirror of Sampling.hashU over a column expression — the
     * md5-prefix uniform every split/sample oracle shares.
@@ -2503,6 +2594,17 @@ object SparkEntry {
         "CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INTEGER) AS hamming " +
         "FROM pairs p JOIN sig x ON x.url = p.a JOIN sig y ON y.url = p.b) " +
         s"SELECT a, b, hamming FROM h WHERE hamming <= $simhashNearDupMaxHamming ORDER BY a, b"),
+    // Edit-distance verify: DuckDB recomputes the 160-char prefix, the
+    // classic Levenshtein distance, and the integer cross-multiplied
+    // near-exact decision from the same candidate + norm stage parquet.
+    "q_edit_verify" ->
+      (s"WITH c AS (SELECT a, b FROM ${candPq(dir)}), " +
+        s"n AS (SELECT url, substr(norm_text, 1, 160) AS pref FROM ${normPq(dir)}) " +
+        "SELECT c.a, c.b, CAST(length(x.pref) AS INTEGER) AS len_a, " +
+        "CAST(length(y.pref) AS INTEGER) AS len_b, " +
+        "CAST(levenshtein(x.pref, y.pref) AS INTEGER) AS lev, " +
+        "(levenshtein(x.pref, y.pref) * 4 <= greatest(length(x.pref), length(y.pref))) AS near_exact " +
+        "FROM c JOIN n x ON x.url = c.a JOIN n y ON y.url = c.b ORDER BY c.a, c.b"),
     // S9 upsert: DuckDB recomputes the within-batch one-row-per-key pick
     // (row_number over rev DESC — Sources.upsertByKey's window), the
     // anti-join of existing against update keys, and the union.
@@ -2848,6 +2950,48 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
         "h.n_hits IS NOT NULL AS contaminated " +
         "FROM d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"),
+    // Containment decontamination: the q_decontaminate chain plus a
+    // per-doc distinct-n-gram denominator and the integer threshold
+    // cross-multiply (n_hits*5 >= n_ngrams*1); DISTINCT on both counting
+    // paths mirrors array_distinct on the Spark side.
+    "q_contain_decontaminate" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "ev AS (SELECT toks[3:22] AS etoks FROM d WHERE doc_id % 97 = 0), " +
+        "evg AS (SELECT DISTINCT array_to_string(etoks[i:i+7], ' ') AS g FROM " +
+        "(SELECT etoks, unnest(range(1, len(etoks) - 6)) AS i FROM ev WHERE len(etoks) >= 8)), " +
+        "cg AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM d WHERE len(toks) >= 8)), " +
+        "nn AS (SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_ngrams FROM cg GROUP BY doc_id), " +
+        "hits AS (SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hits " +
+        "FROM cg JOIN evg USING (g) GROUP BY cg.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(nn.n_ngrams, 0) AS BIGINT) AS n_ngrams, " +
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "(COALESCE(nn.n_ngrams, 0) > 0 AND COALESCE(h.n_hits, 0) * 5 >= COALESCE(nn.n_ngrams, 0) * 1) AS flagged " +
+        "FROM d LEFT JOIN nn USING (doc_id) LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"),
+    // Count-min sketch: DuckDB recomputes every cell from raw text — the
+    // same trim/lower/\s+ tokenizer, the same md5-prefix 60-bit bucket
+    // hash ('r:token'), the same groupBy. A single miscounted occurrence
+    // or a bucket off-by-one hash-mismatches the whole sketch.
+    "q_cms_sketch" ->
+      (s"WITH $cmsCtes SELECT r, bucket, cnt FROM sk ORDER BY r, bucket"),
+    "q_cms_estimate" ->
+      (s"WITH $cmsCtes, " +
+        "hv AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM t GROUP BY tok HAVING count(*) >= 30), " +
+        "probes AS (SELECT hv.tok, rr.r, CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || hv.tok), 1, 15) AS BIGINT) % 512 AS bucket " +
+        "FROM hv, (SELECT unnest(range(0, 4)) AS r) rr), " +
+        "est AS (SELECT p.tok, MIN(COALESCE(sk.cnt, 0)) AS est FROM probes p " +
+        "LEFT JOIN sk ON sk.r = CAST(p.r AS INTEGER) AND sk.bucket = p.bucket GROUP BY p.tok) " +
+        "SELECT hv.tok, hv.true_cnt, CAST(e.est AS BIGINT) AS est " +
+        "FROM hv JOIN est e ON e.tok = hv.tok ORDER BY hv.tok"),
+    // HLL registers: idx = low 8 bits of the 60-bit uniform, rho = 53 -
+    // bitlen(high 52 bits); DuckDB's bin() and Spark's conv(x,10,2) both
+    // render unpadded binary, so the digit count is engine-independent.
+    "q_hll_registers" ->
+      ("WITH t AS (SELECT DISTINCT tok FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents)), " +
+        "u AS (SELECT CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) AS u FROM t), " +
+        "rr AS (SELECT u % 256 AS idx, CAST(CASE WHEN u // 256 = 0 THEN 53 " +
+        "ELSE 53 - length(bin(u // 256)) END AS INTEGER) AS rho FROM u) " +
+        "SELECT idx, MAX(rho) AS max_rho FROM rr GROUP BY idx ORDER BY idx"),
     // PII: same planted strings, same sequential count/replace chain; the
     // regex constants are interpolated from PiiRedact so oracle and engine
     // cannot drift (java.util.regex / RE2 dialect intersection only).

@@ -98,4 +98,35 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_hits").isNotNull.as("contaminated"))
   }
+
+  /** Containment-based (fuzzy) decontamination — FineWeb/Dolma-style: a
+    * doc is flagged when the FRACTION of its distinct n-grams that appear
+    * in the eval set reaches thrNum/thrDen, not on any single hit. `flag`
+    * catches verbatim leakage; this catches paraphrased/partial leakage
+    * while tolerating incidental n-gram collisions (boilerplate phrases)
+    * that would make any-hit flagging drop clean documents at web scale.
+    *
+    * Decision arithmetic is INTEGER cross-multiplication
+    * (n_hits * thrDen >= n_ngrams * thrNum), so the oracle re-decides
+    * bit-identically — no float threshold compare anywhere. Scale shape:
+    * n_ngrams is a per-row expression (no aggregation), hits reuse the
+    * broadcast eval set; the corpus side shuffles nothing.
+    */
+  def containment(corpus: DataFrame, evalNg: DataFrame, idCol: String,
+                  textCol: String, n: Int, thrNum: Int, thrDen: Int): DataFrame = {
+    val distinctNg = array_distinct(ngramsCol(tokensCol(col(textCol)), n))
+    val withN = corpus.select(col(idCol),
+      size(distinctNg).cast("long").as("n_ngrams"))
+    val hits = corpus
+      .select(col(idCol), explode(distinctNg).as("g"))
+      .join(broadcast(evalNg), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    withN.join(broadcast(hits), Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (col("n_ngrams") > 0 &&
+          coalesce(col("n_hits"), lit(0L)) * thrDen >= col("n_ngrams") * thrNum)
+          .as("flagged"))
+  }
 }

@@ -78,4 +78,38 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not sort-merge against the eval set:\n$plan")
   }
+
+  test("containment: fraction threshold by integer cross-multiply, edge docs defined") {
+    import spark.implicits._
+    val evalDf = Seq("p q r s t u").toDF("text")
+    val c = corpus(
+      (1L, "p q r s t u v w"),  // 5 distinct 4-grams, 3 hits -> 3*2 >= 5*1: flagged at 1/2
+      (2L, "p q r s x y z w"),  // 5 distinct 4-grams, 1 hit  -> 1*2 <  5*1: clean
+      (3L, "a b c"),            // shorter than n -> n_ngrams = 0, never flagged
+      (4L, "p q r s p q r s p q r s")) // repeats collapse: distinct grams only
+    val got = Decontaminate
+      .containment(c, Decontaminate.evalNgrams(evalDf, "text", 4), "doc_id", "text", 4,
+        thrNum = 1, thrDen = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // doc 4: windows = pqrs qrsp rspq spqr pqrs ... -> 4 distinct, 1 hit (pqrs)
+    assert(got == Seq(
+      (1L, 5L, 3L, true),
+      (2L, 5L, 1L, false),
+      (3L, 0L, 0L, false),
+      (4L, 4L, 1L, false)))
+  }
+
+  test("containment flags are a subset of any-hit flags (same eval set)") {
+    import spark.implicits._
+    val evalDf = Seq("c d e f g h i j").toDF("text")
+    val c = corpus((1L, "a b c d e f g h i j k"), (2L, "c d e f x g h i j y"),
+      (3L, "no overlap here at all"))
+    val ev = Decontaminate.evalNgrams(evalDf, "text", 4)
+    val anyHit = Decontaminate.flag(c, ev, "doc_id", "text", 4)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    val frac = Decontaminate.containment(c, ev, "doc_id", "text", 4, 1, 4)
+      .filter(col("flagged")).select("doc_id").as[Long].collect().toSet
+    assert(frac.subsetOf(anyHit), s"containment flags $frac not within any-hit $anyHit")
+  }
 }
