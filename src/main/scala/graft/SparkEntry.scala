@@ -1365,6 +1365,27 @@ object SparkEntry {
         .distinct()
       graft.sketch.Sketches.hllRegisters(toks, "tok", p = 8).orderBy("idx")
     }),
+    "q_bpe_pairs" -> ((s, dir) => {
+      // BPE tokenizer-training statistics, generation 0 (text/Bpe
+      // Scaladoc): adjacent character-pair counts over the word-TYPE
+      // table weighted by type frequency — the one corpus-sized reduce of
+      // a BPE fit (everything after runs over types). DuckDB recomputes
+      // the tokenizer, the type counts, and the windowed pair sums.
+      val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
+      graft.text.Bpe.pairStats(wt)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+    }),
+    "q_bpe_merges" -> ((s, dir) => {
+      // The ITERATIVE greedy BPE fit (12 merges), driver-green: every
+      // round's pair counts are exact integers and the pick is a total
+      // order (cnt DESC, left, right), so the DuckDB oracle replays the
+      // whole fit as unrolled CTE generations — re-counting pairs,
+      // re-picking the argmax, and re-segmenting with a list_reduce
+      // left-to-right merge scan (the integer-PageRank pattern applied
+      // to an iterative fit SQL normally can't recompute).
+      val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
+      graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12).orderBy("step")
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // PII redaction (text/PiiRedact Scaladoc) with PII planted as a pure
       // function of doc_id (the corpus text itself has none): an email for
@@ -1669,6 +1690,38 @@ object SparkEntry {
       "pr AS (SELECT tok, r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 512 AS bucket " +
       "FROM t, (SELECT unnest(range(0, 4)) AS r)), " +
       "sk AS (SELECT CAST(r AS INTEGER) AS r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY r, bucket)"
+
+  /** Unrolled-CTE replay of the greedy BPE fit (Bpe.fitMerges) — one
+    * (pair-count, argmax, re-segment) generation per merge step. The
+    * re-segment is a list_reduce left-to-right scan over a chr(31)-joined
+    * accumulator string (tokens are \s+-split so the separator cannot
+    * occur in a symbol); the scan merges (l, r) non-overlapping exactly
+    * like Bpe.applyMerge because the merged symbol becomes the tail.
+    */
+  private def bpeMergesSql(steps: Int): String = {
+    val last = "regexp_replace(acc, '.*\\x1f', '')"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    // MATERIALIZED is load-bearing: each generation references its
+    // predecessor twice (pair counts + re-segment), so inlined CTEs would
+    // expand 2^steps times.
+    ctes += "t AS MATERIALIZED (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents)"
+    ctes += "wt AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok ORDER BY cnt DESC, word LIMIT 100000)"
+    ctes += "g0 AS MATERIALIZED (SELECT word, cnt, list_transform(range(1, len(word) + 1), i -> word[i:i]) AS segs FROM wt)"
+    for (k <- 1 to steps) {
+      val g = s"g${k - 1}"
+      ctes += s"p$k AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM " +
+        s"(SELECT unnest(list_transform(range(1, len(segs)), i -> {'l': segs[i], 'r': segs[i+1]})) AS pr, cnt FROM $g) GROUP BY 1, 2)"
+      ctes += s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1)"
+      if (k < steps)
+        ctes += s"g$k AS MATERIALIZED (SELECT $g.word, $g.cnt, CASE WHEN m.l IS NULL THEN segs ELSE " +
+          s"string_split(list_reduce(segs, (acc, x) -> CASE WHEN $last = m.l AND x = m.r " +
+          s"THEN substr(acc, 1, len(acc) - len($last)) || m.l || m.r " +
+          s"ELSE acc || chr(31) || x END), chr(31)) END AS segs FROM $g LEFT JOIN m$k m ON true)"
+    }
+    val union = (1 to steps).map(k => s"SELECT $k AS step, l, r, cnt FROM m$k").mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(", ")} " +
+      s"SELECT CAST(step AS INTEGER) AS step, l, r, cnt FROM ($union) ORDER BY step"
+  }
 
   /** DuckDB mirror of Sampling.hashU over a column expression — the
     * md5-prefix uniform every split/sample oracle shares.
@@ -2992,6 +3045,15 @@ object SparkEntry {
         "rr AS (SELECT u % 256 AS idx, CAST(CASE WHEN u // 256 = 0 THEN 53 " +
         "ELSE 53 - length(bin(u // 256)) END AS INTEGER) AS rho FROM u) " +
         "SELECT idx, MAX(rho) AS max_rho FROM rr GROUP BY idx ORDER BY idx"),
+    // BPE generation-0 pair counts: DuckDB re-derives word types and the
+    // per-position char pairs (1-based slices mirror Column.substr).
+    "q_bpe_pairs" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents), " +
+        "wt AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok), " +
+        "pp AS (SELECT unnest(list_transform(range(1, len(word)), i -> {'l': word[i:i], 'r': word[i+1:i+1]})) AS pr, cnt FROM wt) " +
+        "SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pp " +
+        "GROUP BY 1, 2 ORDER BY cnt DESC, l, r"),
+    "q_bpe_merges" -> bpeMergesSql(12),
     // PII: same planted strings, same sequential count/replace chain; the
     // regex constants are interpolated from PiiRedact so oracle and engine
     // cannot drift (java.util.regex / RE2 dialect intersection only).
