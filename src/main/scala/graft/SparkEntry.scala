@@ -1365,6 +1365,17 @@ object SparkEntry {
         .distinct()
       graft.sketch.Sketches.hllRegisters(toks, "tok", p = 8).orderBy("idx")
     }),
+    "q_hll_by_lang" -> ((s, dir) => {
+      // Grouped cardinality sketch: per-language distinct-token HLL
+      // registers (p=6 keeps the register table lang x 64) — the GROUP BY
+      // form of the same integer-exact register derivation; state is
+      // O(langs * m) and merges by MAX per (lang, idx).
+      val toks = docs(s, dir).select(col("lang"),
+          explode(graft.text.Decontaminate.tokensCol(col("text"))).as("tok"))
+        .distinct()
+      graft.sketch.Sketches.hllRegistersBy(toks, "lang", "tok", p = 6)
+        .orderBy("lang", "idx")
+    }),
     "q_bpe_pairs" -> ((s, dir) => {
       // BPE tokenizer-training statistics, generation 0 (text/Bpe
       // Scaladoc): adjacent character-pair counts over the word-TYPE
@@ -1385,6 +1396,22 @@ object SparkEntry {
       // to an iterative fit SQL normally can't recompute).
       val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
       graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12).orderBy("step")
+    }),
+    "q_bpe_segment" -> ((s, dir) => {
+      // The APPLY half: segment every (capped) word type with the learned
+      // merge list — at corpus scale the merges BROADCAST and
+      // segmentation is a per-row function (sequential by nature, so a
+      // UDF is justified here like the normalize chain). The oracle
+      // replays the fit and reads the final generation's segmentation.
+      import s.implicits._
+      val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
+      val merges = graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1)
+        .map(m => (m._2, m._3)).toSeq
+      val segUdf = udf((w: String) => graft.text.Bpe.segment(w, merges).mkString(" "))
+      wt.orderBy(col("cnt").desc, col("word").asc).limit(100000)
+        .select(col("word"), col("cnt"), segUdf(col("word")).as("seg"))
+        .orderBy("word")
     }),
     "q_pii_redact" -> ((s, dir) => {
       // PII redaction (text/PiiRedact Scaladoc) with PII planted as a pure
@@ -1698,7 +1725,7 @@ object SparkEntry {
     * occur in a symbol); the scan merges (l, r) non-overlapping exactly
     * like Bpe.applyMerge because the merged symbol becomes the tail.
     */
-  private def bpeMergesSql(steps: Int): String = {
+  private def bpeGenCtes(steps: Int, finalGen: Boolean): String = {
     val last = "regexp_replace(acc, '.*\\x1f', '')"
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     // MATERIALIZED is load-bearing: each generation references its
@@ -1712,16 +1739,27 @@ object SparkEntry {
       ctes += s"p$k AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM " +
         s"(SELECT unnest(list_transform(range(1, len(segs)), i -> {'l': segs[i], 'r': segs[i+1]})) AS pr, cnt FROM $g) GROUP BY 1, 2)"
       ctes += s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1)"
-      if (k < steps)
+      if (k < steps || finalGen)
         ctes += s"g$k AS MATERIALIZED (SELECT $g.word, $g.cnt, CASE WHEN m.l IS NULL THEN segs ELSE " +
           s"string_split(list_reduce(segs, (acc, x) -> CASE WHEN $last = m.l AND x = m.r " +
           s"THEN substr(acc, 1, len(acc) - len($last)) || m.l || m.r " +
           s"ELSE acc || chr(31) || x END), chr(31)) END AS segs FROM $g LEFT JOIN m$k m ON true)"
     }
+    ctes.mkString(", ")
+  }
+
+  private def bpeMergesSql(steps: Int): String = {
     val union = (1 to steps).map(k => s"SELECT $k AS step, l, r, cnt FROM m$k").mkString(" UNION ALL ")
-    s"WITH ${ctes.mkString(", ")} " +
+    s"WITH ${bpeGenCtes(steps, finalGen = false)} " +
       s"SELECT CAST(step AS INTEGER) AS step, l, r, cnt FROM ($union) ORDER BY step"
   }
+
+  /** APPLY oracle: the final generation g<steps> already holds every word
+    * type's segmentation after all merges — read it back directly.
+    */
+  private def bpeSegmentSql(steps: Int): String =
+    s"WITH ${bpeGenCtes(steps, finalGen = true)} " +
+      s"SELECT word, cnt, array_to_string(segs, ' ') AS seg FROM g$steps ORDER BY word"
 
   /** DuckDB mirror of Sampling.hashU over a column expression — the
     * md5-prefix uniform every split/sample oracle shares.
@@ -3045,6 +3083,14 @@ object SparkEntry {
         "rr AS (SELECT u % 256 AS idx, CAST(CASE WHEN u // 256 = 0 THEN 53 " +
         "ELSE 53 - length(bin(u // 256)) END AS INTEGER) AS rho FROM u) " +
         "SELECT idx, MAX(rho) AS max_rho FROM rr GROUP BY idx ORDER BY idx"),
+    // Grouped HLL (p=6): same derivation with idx = u % 64, rho over the
+    // remaining 54 bits (width 55), keyed by language.
+    "q_hll_by_lang" ->
+      ("WITH t AS (SELECT DISTINCT lang, tok FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents)), " +
+        "u AS (SELECT lang, CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) AS u FROM t), " +
+        "rr AS (SELECT lang, u % 64 AS idx, CAST(CASE WHEN u // 64 = 0 THEN 55 " +
+        "ELSE 55 - length(bin(u // 64)) END AS INTEGER) AS rho FROM u) " +
+        "SELECT lang, idx, MAX(rho) AS max_rho FROM rr GROUP BY lang, idx ORDER BY lang, idx"),
     // BPE generation-0 pair counts: DuckDB re-derives word types and the
     // per-position char pairs (1-based slices mirror Column.substr).
     "q_bpe_pairs" ->
@@ -3054,6 +3100,7 @@ object SparkEntry {
         "SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pp " +
         "GROUP BY 1, 2 ORDER BY cnt DESC, l, r"),
     "q_bpe_merges" -> bpeMergesSql(12),
+    "q_bpe_segment" -> bpeSegmentSql(12),
     // PII: same planted strings, same sequential count/replace chain; the
     // regex constants are interpolated from PiiRedact so oracle and engine
     // cannot drift (java.util.regex / RE2 dialect intersection only).

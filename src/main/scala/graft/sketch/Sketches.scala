@@ -101,6 +101,27 @@ object Sketches {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /** Grouped HLL registers: one register set per value of `groupCol` —
+    * the GROUP BY form of cardinality sketching (distinct tokens per
+    * language, distinct urls per host, ...). State is O(groups · m) and
+    * still merges by MAX per (group, idx), so per-shard grouped sketches
+    * combine in one tiny reduce exactly like the ungrouped form.
+    */
+  def hllRegistersBy(items: DataFrame, groupCol: String, itemCol: String,
+                     p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, s"p=$p out of range")
+    val m = 1L << p
+    val u = hash60(0, col(itemCol))
+    val rest = shiftright(u, p)
+    val width = 61 - p
+    val rho = when(rest === 0L, lit(width))
+      .otherwise(lit(width) - length(conv(rest.cast("string"), 10, 2)))
+    items
+      .select(col(groupCol), pmod(u, lit(m)).as("idx"), rho.cast("int").as("rho"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
   /** Driver-side HLL readout (the only float math, deliberately outside
     * the oracle surface): standard bias-corrected harmonic mean with the
     * small-range linear-counting correction. `registers` maps idx ->

@@ -208,4 +208,26 @@ object StreamingDedup {
       .groupBy(window(col("warc_ts"), windowLen), col("lang"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("lang"), col("cnt"))
+
+  /** Streaming count-min sketch over the token stream: the SAME cell
+    * derivation as Sketches.countMinSketch as a streaming aggregation in
+    * Update mode. This is the sketch merge law operationalized — state is
+    * the d*w counter grid (bounded regardless of stream volume; no
+    * watermark or eviction needed), each micro-batch's partial counts
+    * fold in by cell-wise SUM, and after any prefix of the stream the
+    * state equals the batch sketch of the rows seen so far
+    * (StreamingCurateSpec asserts it against Sketches.countMinSketch).
+    */
+  def streamingCms(pages: DataFrame, textCol: String, d: Int, w: Int): DataFrame = {
+    val toks = pages.select(
+      explode(graft.text.Decontaminate.tokensCol(col(textCol))).as("tok"))
+    val probes = array((0 until d).map { r =>
+      struct(lit(r).as("r"),
+        pmod(graft.sketch.Sketches.hash60(r, col("tok")), lit(w.toLong)).as("bucket"))
+    }: _*)
+    toks
+      .select(explode(probes).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

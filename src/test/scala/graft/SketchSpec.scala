@@ -89,6 +89,20 @@ class SketchSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("grouped HLL registers equal per-group ungrouped registers") {
+    import spark.implicits._
+    val items = (1 to 800).map(k => (if (k % 3 == 0) "a" else "b", s"i$k"))
+      .toDF("g", "tok")
+    val grouped = Sketches.hllRegistersBy(items, "g", "tok", 6)
+      .as[(String, Long, Int)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).toMap }
+    for (g <- Seq("a", "b")) {
+      val solo = Sketches.hllRegisters(items.filter($"g" === g).select("tok"), "tok", 6)
+        .as[(Long, Int)].collect().toMap
+      assert(grouped(g) == solo, s"group $g diverges from ungrouped registers")
+    }
+  }
+
   test("CMS estimate plan broadcasts the sketch (no sketch-side shuffle of queries)") {
     val items = tokenDf(100)
     val sk = Sketches.countMinSketch(items, "tok", d = 4, w = 256)

@@ -119,4 +119,33 @@ class StreamingCurateSpec extends AnyFunSuite {
     assert(!containsFlagged(null: String, evalNg, 3))
     assert(!containsFlagged("anything", Set.empty, 3))
   }
+
+  test("streaming CMS state equals the batch sketch after each prefix of the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.streamingCms(in.toDF(), "text", d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      def stateNow(): Set[(Int, Long, Long)] = {
+        q.processAllAvailable()
+        spark.sql("SELECT r, bucket, cnt FROM cms_out")
+          .as[(Int, Long, Long)].collect().toSet
+      }
+      def batchOf(pages: Seq[Page]): Set[(Int, Long, Long)] = {
+        val toks = pages.toDF().select(
+          org.apache.spark.sql.functions.explode(
+            graft.text.Decontaminate.tokensCol(org.apache.spark.sql.functions.col("text"))).as("tok"))
+        graft.sketch.Sketches.countMinSketch(toks, "tok", 4, 64)
+          .as[(Int, Long, Long)].collect().toSet
+      }
+      val b1 = Seq(page("a", cleanText, 0), page("b", "alpha beta gamma alpha", 1))
+      val b2 = Seq(page("c", "beta beta delta " + cleanText, 2))
+      in.addData(b1: _*)
+      assert(stateNow() == batchOf(b1), "state after batch 1 diverges")
+      in.addData(b2: _*)
+      assert(stateNow() == batchOf(b1 ++ b2), "merged state after batch 2 diverges")
+    } finally q.stop()
+  }
 }
