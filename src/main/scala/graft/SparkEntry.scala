@@ -988,6 +988,32 @@ object SparkEntry {
         maxBucketSize = DedupConfig.balanced.maxBucketSize)
         .orderBy("a", "b")
     }),
+    "q_containment_pairs" -> ((s, dir) => {
+      // Asymmetric near-dup direction over the candidate pairs: token-set
+      // containment |A∩B|/|A| (and the mirror) — catches quote-inclusion
+      // and page-embeds-page duplication whose symmetric Jaccard stays
+      // low when |B| >> |A|. Decisions are integer cross-multiplied
+      // (inter*10 >= size*9, i.e. 90% containment); DuckDB recomputes
+      // token sets, intersection, and both decisions from the same stage
+      // parquet. Same scale shape as the verify stage: per-candidate
+      // work only, map-side after the two id joins.
+      val rd = pipelineRunDir(s, dir)
+      val cand = s.read.parquet(s"$rd/05_cand").select("a", "b")
+      val toks = s.read.parquet(s"$rd/01_norm")
+        .select(col("url"), array_distinct(split(col("norm_text"), " ")).as("ts"))
+      cand
+        .join(toks.select(col("url").as("a"), col("ts").as("ta")), "a")
+        .join(toks.select(col("url").as("b"), col("ts").as("tb")), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+          size(col("ta")).cast("long").as("size_a"),
+          size(col("tb")).cast("long").as("size_b"))
+        .withColumn("a_in_b",
+          col("size_a") > 0 && col("inter") * 10 >= col("size_a") * 9)
+        .withColumn("b_in_a",
+          col("size_b") > 0 && col("inter") * 10 >= col("size_b") * 9)
+        .orderBy("a", "b")
+    }),
     "q_edit_verify" -> ((s, dir) => {
       // Bounded-prefix edit-distance verify: the precise tier a dedup
       // pipeline can only afford on CANDIDATE pairs, never corpus pairs —
@@ -1376,6 +1402,17 @@ object SparkEntry {
       graft.sketch.Sketches.hllRegistersBy(toks, "lang", "tok", p = 6)
         .orderBy("lang", "idx")
     }),
+    "q_zorder" -> ((s, dir) => {
+      // Z-order clustering key (sources/ZOrder Scaladoc): Morton
+      // interleave of (hash16(source), doc_id mod 2^16) — the write-time
+      // layout key behind writeClustered. The data-skipping claim is
+      // MEASURED in ZOrderSpec (rows decoded, scan input metrics); the
+      // key itself is pure shift/and/or integer arithmetic, bit-oracled
+      // here.
+      docs(s, dir).select(col("doc_id"),
+          graft.sources.ZOrder.zValue(col("source"), col("doc_id")).as("zval"))
+        .orderBy("doc_id")
+    }),
     "q_bpe_pairs" -> ((s, dir) => {
       // BPE tokenizer-training statistics, generation 0 (text/Bpe
       // Scaladoc): adjacent character-pair counts over the word-TYPE
@@ -1746,6 +1783,19 @@ object SparkEntry {
           s"ELSE acc || chr(31) || x END), chr(31)) END AS segs FROM $g LEFT JOIN m$k m ON true)"
     }
     ctes.mkString(", ")
+  }
+
+  /** DuckDB mirror of ZOrder.zValue: the Morton interleave unrolled as 32
+    * shift/and/or terms over (md5-16(source), doc_id mod 2^16).
+    */
+  private def zorderSql: String = {
+    val h = "(CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 65536)"
+    val b = "(doc_id % 65536)"
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"((($h >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})"))
+    s"SELECT doc_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval " +
+      "FROM documents ORDER BY doc_id"
   }
 
   private def bpeMergesSql(steps: Int): String = {
@@ -2685,6 +2735,19 @@ object SparkEntry {
         "CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INTEGER) AS hamming " +
         "FROM pairs p JOIN sig x ON x.url = p.a JOIN sig y ON y.url = p.b) " +
         s"SELECT a, b, hamming FROM h WHERE hamming <= $simhashNearDupMaxHamming ORDER BY a, b"),
+    // Containment: token sets re-derived from norm text (single-space
+    // joined by the normalize chain), list_intersect, and the integer
+    // cross-multiplied 90% decisions.
+    "q_containment_pairs" ->
+      (s"WITH c AS (SELECT a, b FROM ${candPq(dir)}), " +
+        s"n AS (SELECT url, list_distinct(string_split(norm_text, ' ')) AS ts FROM ${normPq(dir)}), " +
+        "j AS (SELECT c.a, c.b, CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS inter, " +
+        "CAST(len(x.ts) AS BIGINT) AS size_a, CAST(len(y.ts) AS BIGINT) AS size_b " +
+        "FROM c JOIN n x ON x.url = c.a JOIN n y ON y.url = c.b) " +
+        "SELECT a, b, inter, size_a, size_b, " +
+        "(size_a > 0 AND inter * 10 >= size_a * 9) AS a_in_b, " +
+        "(size_b > 0 AND inter * 10 >= size_b * 9) AS b_in_a " +
+        "FROM j ORDER BY a, b"),
     // Edit-distance verify: DuckDB recomputes the 160-char prefix, the
     // classic Levenshtein distance, and the integer cross-multiplied
     // near-exact decision from the same candidate + norm stage parquet.
@@ -3091,6 +3154,8 @@ object SparkEntry {
         "rr AS (SELECT lang, u % 64 AS idx, CAST(CASE WHEN u // 64 = 0 THEN 55 " +
         "ELSE 55 - length(bin(u // 64)) END AS INTEGER) AS rho FROM u) " +
         "SELECT lang, idx, MAX(rho) AS max_rho FROM rr GROUP BY lang, idx ORDER BY lang, idx"),
+    // Z-order key: the same 32-term shift/and/or interleave, unrolled.
+    "q_zorder" -> zorderSql,
     // BPE generation-0 pair counts: DuckDB re-derives word types and the
     // per-position char pairs (1-based slices mirror Column.substr).
     "q_bpe_pairs" ->
