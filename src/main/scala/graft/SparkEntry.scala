@@ -1450,6 +1450,44 @@ object SparkEntry {
         .select(col("word"), col("cnt"), segUdf(col("word")).as("seg"))
         .orderBy("word")
     }),
+    "q_doc_chunks" -> ((s, dir) => {
+      // Embedding-index prep: overlapping fixed-token windows (size 32,
+      // stride 24) per document — the docs -> chunks bridge an ANN index
+      // over long documents needs. Chunk boundaries are pure per-row
+      // arithmetic (map-only posexplode of the start sequence, no
+      // shuffle); DuckDB recomputes starts, slices, and reassembled text.
+      val sz = 32
+      val stride = 24
+      val toks = graft.text.Decontaminate.tokensCol(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"), col("ts"),
+          posexplode(sequence(lit(1), size(col("ts")), lit(stride))).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(slice(col("ts"), col("start"), lit(sz))).cast("long").as("n_toks"),
+          concat_ws(" ", slice(col("ts"), col("start"), lit(sz))).as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    "q_bpe_doc_tokens" -> ((s, dir) => {
+      // Tokenizer-cost accounting: per-doc BPE subword count under the
+      // learned merges = SUM over the doc's words of the word TYPE's
+      // segment length — the token-budget input packing/mixing consume.
+      // Scale shape: the fit is bounded-driver-side, the word->length
+      // application is a broadcast per-row function. The oracle joins the
+      // doc word stream to the fit replay's final generation lengths
+      // (inner join: exact while the type cap doesn't bind — it is 100k
+      // and the oracle corpus vocabulary is ~100x smaller).
+      import s.implicits._
+      val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
+      val merges = graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1)
+        .map(m => (m._2, m._3)).toSeq
+      val lenUdf = udf((w: String) => graft.text.Bpe.segment(w, merges).length.toLong)
+      docs(s, dir).select(col("doc_id"),
+          explode(graft.text.Decontaminate.tokensCol(col("text"))).as("word"))
+        .groupBy("doc_id").agg(sum(lenUdf(col("word"))).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // PII redaction (text/PiiRedact Scaladoc) with PII planted as a pure
       // function of doc_id (the corpus text itself has none): an email for
@@ -3166,6 +3204,21 @@ object SparkEntry {
         "GROUP BY 1, 2 ORDER BY cnt DESC, l, r"),
     "q_bpe_merges" -> bpeMergesSql(12),
     "q_bpe_segment" -> bpeSegmentSql(12),
+    // Chunking: same start sequence (1, 1+24, 1+48, ... <= len), same
+    // 32-token slices, same space reassembly; chunk_idx from the start
+    // offset by integer division.
+    "q_doc_chunks" ->
+      ("WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents), " +
+        "st AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 24)) AS s FROM d) " +
+        "SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx, " +
+        "CAST(len(ts[s:s+31]) AS BIGINT) AS n_toks, " +
+        "array_to_string(ts[s:s+31], ' ') AS chunk " +
+        "FROM st ORDER BY doc_id, chunk_idx"),
+    "q_bpe_doc_tokens" ->
+      (s"WITH ${bpeGenCtes(12, finalGen = true)}, " +
+        "dt AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents) " +
+        "SELECT dt.doc_id, CAST(SUM(len(g12.segs)) AS BIGINT) AS n_subwords " +
+        "FROM dt JOIN g12 ON g12.word = dt.word GROUP BY dt.doc_id ORDER BY dt.doc_id"),
     // PII: same planted strings, same sequential count/replace chain; the
     // regex constants are interpolated from PiiRedact so oracle and engine
     // cannot drift (java.util.regex / RE2 dialect intersection only).

@@ -206,4 +206,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeAttrLists.exists(hasVec), s"no vector-carrying exchange found — parse broke?\n$p")
     assert(exchangeAttrLists.exists(hasText), s"no text-carrying exchange found — parse broke?\n$p")
   }
+
+  test("sketch and chunking plans: CMS is one partial-agg shuffle; chunking is map-only") {
+    val cms = SparkEntry.queries("q_cms_sketch")(spark, sf)
+    val pc = planOf(cms)
+    // exactly one HASH shuffle (the d*w-key aggregate; the trailing
+    // orderBy adds only the presentation range exchange), preceded by a
+    // partial HashAggregate so the shuffle carries at most one row per
+    // (task, cell)
+    val nHash = "hashpartitioning".r.findAllIn(pc).size
+    assert(nHash == 1, s"CMS sketch should hash-shuffle exactly once (got $nHash):\n$pc")
+    assert(pc.contains("HashAggregate"), s"CMS sketch lost map-side partial agg:\n$pc")
+    val chunks = SparkEntry.queries("q_doc_chunks")(spark, sf)
+    val pk = planOf(chunks)
+    // chunk derivation is per-row: no hash shuffle anywhere (the orderBy
+    // range exchange for presentation is the only allowed exchange)
+    assert(!pk.contains("hashpartitioning"),
+      s"chunking introduced a hash shuffle:\n$pk")
+  }
 }
