@@ -1432,7 +1432,7 @@ object SparkEntry {
       // left-to-right merge scan (the integer-PageRank pattern applied
       // to an iterative fit SQL normally can't recompute).
       val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
-      graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12).orderBy("step")
+      graft.text.Bpe.fitMergesDf(s, wt, numMerges = BpeMergeSteps).orderBy("step")
     }),
     "q_bpe_segment" -> ((s, dir) => {
       // The APPLY half: segment every (capped) word type with the learned
@@ -1440,11 +1440,8 @@ object SparkEntry {
       // segmentation is a per-row function (sequential by nature, so a
       // UDF is justified here like the normalize chain). The oracle
       // replays the fit and reads the final generation's segmentation.
-      import s.implicits._
       val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
-      val merges = graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12)
-        .as[(Int, String, String, Long)].collect().sortBy(_._1)
-        .map(m => (m._2, m._3)).toSeq
+      val merges = bpeMergeList(s, wt)
       val segUdf = udf((w: String) => graft.text.Bpe.segment(w, merges).mkString(" "))
       wt.orderBy(col("cnt").desc, col("word").asc).limit(100000)
         .select(col("word"), col("cnt"), segUdf(col("word")).as("seg"))
@@ -1477,14 +1474,12 @@ object SparkEntry {
       // doc word stream to the fit replay's final generation lengths
       // (inner join: exact while the type cap doesn't bind — it is 100k
       // and the oracle corpus vocabulary is ~100x smaller).
-      import s.implicits._
       val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
-      val merges = graft.text.Bpe.fitMergesDf(s, wt, numMerges = 12)
-        .as[(Int, String, String, Long)].collect().sortBy(_._1)
-        .map(m => (m._2, m._3)).toSeq
+      val merges = bpeMergeList(s, wt)
       val lenUdf = udf((w: String) => graft.text.Bpe.segment(w, merges).length.toLong)
       docs(s, dir).select(col("doc_id"),
           explode(graft.text.Decontaminate.tokensCol(col("text"))).as("word"))
+        .filter(length(col("word")) > 0) // mirror wordTypes' empty-token exclusion
         .groupBy("doc_id").agg(sum(lenUdf(col("word"))).as("n_subwords"))
         .orderBy("doc_id")
     }),
@@ -1801,13 +1796,20 @@ object SparkEntry {
     * like Bpe.applyMerge because the merged symbol becomes the tail.
     */
   private def bpeGenCtes(steps: Int, finalGen: Boolean): String = {
-    val last = "regexp_replace(acc, '.*\\x1f', '')"
+    // The accumulator separator must be a character that CANNOT occur in
+    // a token: tokens are \s+-split, so any whitespace char qualifies —
+    // chr(10). The last-symbol regex needs (?s) so `.` crosses earlier
+    // newlines; RE2 reads the backslash-n escape inside the pattern
+    // literal as a newline.
+    val last = "regexp_replace(acc, '(?s).*\\n', '')"
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     // MATERIALIZED is load-bearing: each generation references its
     // predecessor twice (pair counts + re-segment), so inlined CTEs would
     // expand 2^steps times.
     ctes += "t AS MATERIALIZED (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents)"
-    ctes += "wt AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok ORDER BY cnt DESC, word LIMIT 100000)"
+    // tok <> '' mirrors Bpe.wordTypes' empty-token exclusion (and keeps
+    // list_reduce away from the empty segmentation it cannot fold)
+    ctes += "wt AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, word LIMIT 100000)"
     ctes += "g0 AS MATERIALIZED (SELECT word, cnt, list_transform(range(1, len(word) + 1), i -> word[i:i]) AS segs FROM wt)"
     for (k <- 1 to steps) {
       val g = s"g${k - 1}"
@@ -1815,12 +1817,28 @@ object SparkEntry {
         s"(SELECT unnest(list_transform(range(1, len(segs)), i -> {'l': segs[i], 'r': segs[i+1]})) AS pr, cnt FROM $g) GROUP BY 1, 2)"
       ctes += s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1)"
       if (k < steps || finalGen)
-        ctes += s"g$k AS MATERIALIZED (SELECT $g.word, $g.cnt, CASE WHEN m.l IS NULL THEN segs ELSE " +
+        // len(segs) < 2 can hold no pair: identity, and it keeps
+        // list_reduce away from sub-2-element folds
+        ctes += s"g$k AS MATERIALIZED (SELECT $g.word, $g.cnt, CASE WHEN m.l IS NULL OR len(segs) < 2 THEN segs ELSE " +
           s"string_split(list_reduce(segs, (acc, x) -> CASE WHEN $last = m.l AND x = m.r " +
           s"THEN substr(acc, 1, len(acc) - len($last)) || m.l || m.r " +
-          s"ELSE acc || chr(31) || x END), chr(31)) END AS segs FROM $g LEFT JOIN m$k m ON true)"
+          s"ELSE acc || chr(10) || x END), chr(10)) END AS segs FROM $g LEFT JOIN m$k m ON true)"
     }
     ctes.mkString(", ")
+  }
+
+  /** One merge count shared by both BPE Spark queries and their oracles'
+    * unrolled-CTE replays — a mismatch would surface as a baffling oracle
+    * divergence rather than a compile error.
+    */
+  private val BpeMergeSteps = 12
+
+  /** Collected, step-ordered merge list for the APPLY-side queries. */
+  private def bpeMergeList(s: SparkSession, wt: DataFrame): Seq[(String, String)] = {
+    import s.implicits._
+    graft.text.Bpe.fitMergesDf(s, wt, numMerges = BpeMergeSteps)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
   }
 
   /** DuckDB mirror of ZOrder.zValue: the Morton interleave unrolled as 32
@@ -3202,8 +3220,8 @@ object SparkEntry {
         "pp AS (SELECT unnest(list_transform(range(1, len(word)), i -> {'l': word[i:i], 'r': word[i+1:i+1]})) AS pr, cnt FROM wt) " +
         "SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pp " +
         "GROUP BY 1, 2 ORDER BY cnt DESC, l, r"),
-    "q_bpe_merges" -> bpeMergesSql(12),
-    "q_bpe_segment" -> bpeSegmentSql(12),
+    "q_bpe_merges" -> bpeMergesSql(BpeMergeSteps),
+    "q_bpe_segment" -> bpeSegmentSql(BpeMergeSteps),
     // Chunking: same start sequence (1, 1+24, 1+48, ... <= len), same
     // 32-token slices, same space reassembly; chunk_idx from the start
     // offset by integer division.
@@ -3215,10 +3233,10 @@ object SparkEntry {
         "array_to_string(ts[s:s+31], ' ') AS chunk " +
         "FROM st ORDER BY doc_id, chunk_idx"),
     "q_bpe_doc_tokens" ->
-      (s"WITH ${bpeGenCtes(12, finalGen = true)}, " +
+      (s"WITH ${bpeGenCtes(BpeMergeSteps, finalGen = true)}, " +
         "dt AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents) " +
-        "SELECT dt.doc_id, CAST(SUM(len(g12.segs)) AS BIGINT) AS n_subwords " +
-        "FROM dt JOIN g12 ON g12.word = dt.word GROUP BY dt.doc_id ORDER BY dt.doc_id"),
+        s"SELECT dt.doc_id, CAST(SUM(len(g$BpeMergeSteps.segs)) AS BIGINT) AS n_subwords " +
+        s"FROM dt JOIN g$BpeMergeSteps ON g$BpeMergeSteps.word = dt.word GROUP BY dt.doc_id ORDER BY dt.doc_id"),
     // PII: same planted strings, same sequential count/replace chain; the
     // regex constants are interpolated from PiiRedact so oracle and engine
     // cannot drift (java.util.regex / RE2 dialect intersection only).

@@ -78,25 +78,31 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
-  /** HyperLogLog registers over an item column, p = log2(m) index bits:
-    * idx = low p bits of the 60-bit hash, rho = position of the first
-    * 1-bit in the remaining (60-p)-bit field (all-zeros -> 61-p, the
-    * standard saturation). rho is computed as (61-p) - bitlen(rest) where
-    * bitlen is the base-2 digit count — Spark `conv(x,10,2)` and DuckDB
-    * `bin(x)` both render unpadded binary, so the oracle recomputes it
-    * character-for-character. Emits only non-empty registers
-    * (idx, max_rho); absent registers read as zero in the estimator.
+  /** The shared HLL register derivation: idx = low p bits of the 60-bit
+    * hash, rho = position of the first 1-bit in the remaining (60-p)-bit
+    * field (all-zeros -> 61-p, the standard saturation). rho is computed
+    * as (61-p) - bitlen(rest) where bitlen is the base-2 digit count —
+    * Spark `conv(x,10,2)` and DuckDB `bin(x)` both render unpadded
+    * binary, so the oracle recomputes it character-for-character.
     */
-  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame = {
+  private def hllIdxRho(itemCol: String, p: Int): (Column, Column) = {
     require(p >= 2 && p <= 16, s"p=$p out of range")
-    val m = 1L << p
     val u = hash60(0, col(itemCol))
     val rest = shiftright(u, p)
     val width = 61 - p // bits in `rest` + 1: rho range is 1..(61-p)
     val rho = when(rest === 0L, lit(width))
       .otherwise(lit(width) - length(conv(rest.cast("string"), 10, 2)))
+    (pmod(u, lit(1L << p)), rho.cast("int"))
+  }
+
+  /** HyperLogLog registers over an item column, p = log2(m) index bits.
+    * Emits only non-empty registers (idx, max_rho); absent registers read
+    * as zero in the estimator.
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame = {
+    val (idx, rho) = hllIdxRho(itemCol, p)
     items
-      .select(pmod(u, lit(m)).as("idx"), rho.cast("int").as("rho"))
+      .select(idx.as("idx"), rho.as("rho"))
       .groupBy("idx")
       .agg(max(col("rho")).as("max_rho"))
   }
@@ -109,15 +115,9 @@ object Sketches {
     */
   def hllRegistersBy(items: DataFrame, groupCol: String, itemCol: String,
                      p: Int): DataFrame = {
-    require(p >= 2 && p <= 16, s"p=$p out of range")
-    val m = 1L << p
-    val u = hash60(0, col(itemCol))
-    val rest = shiftright(u, p)
-    val width = 61 - p
-    val rho = when(rest === 0L, lit(width))
-      .otherwise(lit(width) - length(conv(rest.cast("string"), 10, 2)))
+    val (idx, rho) = hllIdxRho(itemCol, p)
     items
-      .select(col(groupCol), pmod(u, lit(m)).as("idx"), rho.cast("int").as("rho"))
+      .select(col(groupCol), idx.as("idx"), rho.as("rho"))
       .groupBy(col(groupCol), col("idx"))
       .agg(max(col("rho")).as("max_rho"))
   }

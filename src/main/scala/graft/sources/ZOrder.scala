@@ -62,10 +62,12 @@ object ZOrder {
     * key columns is tight. One range shuffle at write time buys every
     * later filtered scan its row-group pruning.
     */
-  def writeClustered(df: DataFrame, z: Column, nFiles: Int, path: String): Unit =
-    df.withColumn("zval", z)
-      .repartitionByRange(nFiles, col("zval"))
-      .sortWithinPartitions("zval")
-      .drop("zval")
+  def writeClustered(df: DataFrame, z: Column, nFiles: Int, path: String): Unit = {
+    val zc = "__graft_zval" // collision-safe: never clobbers a data column
+    df.withColumn(zc, z)
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -221,13 +221,8 @@ object StreamingDedup {
   def streamingCms(pages: DataFrame, textCol: String, d: Int, w: Int): DataFrame = {
     val toks = pages.select(
       explode(graft.text.Decontaminate.tokensCol(col(textCol))).as("tok"))
-    val probes = array((0 until d).map { r =>
-      struct(lit(r).as("r"),
-        pmod(graft.sketch.Sketches.hash60(r, col("tok")), lit(w.toLong)).as("bucket"))
-    }: _*)
-    toks
-      .select(explode(probes).as("p"))
-      .groupBy(col("p.r").as("r"), col("p.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    // the batch cell derivation works unchanged on a streaming frame —
+    // one implementation, so batch and stream sketches cannot drift
+    graft.sketch.Sketches.countMinSketch(toks, "tok", d, w)
   }
 }

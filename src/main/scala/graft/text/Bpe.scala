@@ -29,9 +29,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Bpe {
 
-  /** Corpus word-type table (word, cnt) under the shared \s+ tokenizer. */
+  /** Corpus word-type table (word, cnt) under the shared \s+ tokenizer.
+    * The empty token (what the tokenizer yields for empty/whitespace-only
+    * text) is excluded: it is not a word, has no pairs, and its empty
+    * segmentation would poison the oracle's list_reduce replay.
+    */
   def wordTypes(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(Decontaminate.tokensCol(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Generation-0 (character-alphabet) adjacent-pair counts, distributed:
@@ -120,12 +125,13 @@ object Bpe {
   def fitMergesDf(spark: SparkSession, types: DataFrame, numMerges: Int,
                   maxTypes: Int = 100000): DataFrame = {
     import spark.implicits._
-    val total = types.count()
-    if (total > maxTypes)
-      Console.err.println(s"[graft.bpe] capped word types $total -> $maxTypes " +
-        "(top by count; fit is approximate beyond the cap)")
+    // collect maxTypes+1 rows so hitting the cap is detectable without a
+    // separate count() job (which would run the corpus-sized groupBy twice)
     val collected = types.orderBy(col("cnt").desc, col("word").asc)
-      .limit(maxTypes).as[(String, Long)].collect().toSeq
-    fitMerges(collected, numMerges).toDF("step", "l", "r", "cnt")
+      .limit(maxTypes + 1).as[(String, Long)].collect()
+    if (collected.length > maxTypes)
+      Console.err.println(s"[graft.bpe] capped word types at $maxTypes " +
+        "(top by count; fit is approximate beyond the cap)")
+    fitMerges(collected.take(maxTypes).toSeq, numMerges).toDF("step", "l", "r", "cnt")
   }
 }

@@ -56,6 +56,25 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Set(("a", "a", 6L), ("a", "b", 5L)))
   }
 
+  test("adversarial corpus: empty/whitespace docs and control-char tokens (oracle-cross-checked)") {
+    import spark.implicits._
+    // the exact corpus hand-run through the DuckDB oracle replay (newline
+    // accumulator separator, tok <> '' filter, len<2 identity guard):
+    // empty/whitespace docs must vanish, a token containing U+001F must
+    // segment by its actual characters
+    val docsDf = Seq((1L, "aa ab aa ab aaab"), (2L, ""), (3L, "   "),
+      (4L, "ab\u001Fcd ab\u001Fcd x")).toDF("doc_id", "text")
+    val wt = Bpe.wordTypes(docsDf, "text")
+    assert(wt.filter(length(col("word")) === 0).count() == 0, "empty token leaked into word types")
+    val got = Bpe.fitMergesDf(spark, wt, numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // DuckDB replay of the same corpus produced exactly these merges
+    assert(got == Seq((1, "a", "b", 5L), (2, "a", "a", 3L),
+      (3, "\u001F", "c", 2L), (4, "\u001Fc", "d", 2L)), s"fit diverged: $got")
+    val segs = Bpe.segment("ab\u001Fcd", got.map(m => (m._2, m._3)))
+    assert(segs.toSeq == Seq("ab", "\u001Fcd"), s"segmentation diverged: ${segs.toSeq}")
+  }
+
   test("fitMergesDf is partition-invariant and matches the local fit") {
     import spark.implicits._
     val docsDf = Seq((1L, "the cat sat"), (2L, "the cat"), (3L, "that hat"))

@@ -46,7 +46,10 @@ class ZOrderSpec extends AnyFunSuite {
       .toDF("seq", "val", "body")
   }
 
-  test("z layout decodes far fewer rows for a val-range scan than a seq-sorted layout") {
+  /** Both layouts, written once per suite run — each test that reads them
+    * forces this, so tests stay order-independent and isolated runs work.
+    */
+  private lazy val layouts: Unit = {
     import spark.implicits._
     TestUtil.deleteRecursively(new java.io.File(zDir))
     TestUtil.deleteRecursively(new java.io.File(sDir))
@@ -54,7 +57,11 @@ class ZOrderSpec extends AnyFunSuite {
     ZOrder.writeClustered(rows, ZOrder.zValue2($"seq", $"val"), nFiles = 8, zDir)
     rows.repartitionByRange(8, $"seq").sortWithinPartitions("seq")
       .write.mode("overwrite").parquet(sDir)
+  }
 
+  test("z layout decodes far fewer rows for a val-range scan than a seq-sorted layout") {
+    import spark.implicits._
+    layouts
     val decoded = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -83,6 +90,7 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("both layouts hold identical data (clustering may not lose rows)") {
     import spark.implicits._
+    layouts
     val z = spark.read.parquet(zDir).as[(Long, Long, String)].collect().toSet
     val s = spark.read.parquet(sDir).as[(Long, Long, String)].collect().toSet
     assert(z == s && z.size == 40000)
