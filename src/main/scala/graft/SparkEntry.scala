@@ -44,6 +44,13 @@ object SparkEntry {
     (9000003L, "ko", "이것은 한국어 테스트 문서 입니다 언어 감지 평가"),
     (9000004L, "en", "the quick test and it was for this with that is in"))
 
+  /** Hashed-bigram feature buckets for the DSIR queries (shared with the
+    * oracle CTEs by interpolation). The paper uses 10k; 256 keeps the
+    * sf0.01 fit dense. The bucket count is a free knob — both fit tables
+    * stay bounded at B rows at any corpus size.
+    */
+  private[graft] val DsirBuckets = 256
+
   /** 12-token chorus planted by q_dup_spans (shared with its oracle SQL
     * by interpolation): vocabulary chosen so any 8 consecutive chorus
     * tokens contain at least one word outside the corpus vocabulary.
@@ -801,6 +808,42 @@ object SparkEntry {
         .select(col("id").cast("long").as("doc_id"), col("n_trigrams"),
           col("sum_df"), col("score_ppm"))
         .orderBy("doc_id")
+    }),
+    "q_dsir_bucket_dist" -> ((s, dir) => {
+      // DSIR FIT (Xie et al. 2023): joint source/target hashed-bigram
+      // distributions with add-one integer smoothing — bounded at B=256
+      // buckets, so unlike the LR/KMeans fits the fit itself is fully
+      // DuckDB-recomputable (two groupBys + integer division, no
+      // iteration). Target = the lang='en' subset (the paper's
+      // formal-text target analogue).
+      val d = docs(s, dir)
+      graft.sample.Dsir.fitDists(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", DsirBuckets).orderBy("bucket")
+    }),
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR APPLY: per-doc importance weight in ppm — the linear-ratio
+      // integer surrogate of the paper's log-likelihood ratio (Dsir
+      // Scaladoc documents the deviation); explode + broadcast fit join
+      // + one partial-agg shuffle
+      val d = docs(s, dir)
+      val fit = graft.sample.Dsir.fitDists(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", DsirBuckets)
+      graft.sample.Dsir.importanceWeights(d, fit, "doc_id", "text", DsirBuckets)
+        .select(col("id").cast("long").as("doc_id"), col("n_ngrams"), col("w_ppm"))
+        .orderBy("doc_id")
+    }),
+    "q_dsir_sample" -> ((s, dir) => {
+      // DSIR RESAMPLE: deterministic integer priority sampling
+      // (Duffield-Lund-Thorup w/u top-k) over the importance weights —
+      // zero RNG state, identical sample on any cluster size
+      val d = docs(s, dir)
+      val fit = graft.sample.Dsir.fitDists(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", DsirBuckets)
+      val w = graft.sample.Dsir.importanceWeights(d, fit, "doc_id", "text", DsirBuckets)
+        .select(col("id").cast("long").as("doc_id"), col("w_ppm"))
+      graft.sample.Dsir.prioritySample(w, "doc_id", 100)
+        .select("doc_id", "w_ppm", "priority")
+        .orderBy(col("priority").desc, col("doc_id").asc)
     }),
     "q_media_meta" -> ((s, dir) => {
       // multimodal: deterministic fake media derived from doc ids. Spark
@@ -1885,6 +1928,37 @@ object SparkEntry {
       "tg AS (SELECT doc_id, substr(ns, CAST(i AS INTEGER), 3) AS trigram FROM tgp), " +
       "tm AS (SELECT trigram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tg GROUP BY trigram)"
 
+  /** DSIR CTEs (no WITH keyword): the full hashed-bigram chain —
+    * normalize to [a-z ], split to words, consecutive-pair bigrams,
+    * md5-60-bit bucket (seed prefix "0:", mirroring Sketches.hash60),
+    * per-doc counts `ddc`, source/target distributions, and the add-one
+    * integer-smoothed fit `dfit` + per-doc weights `dwv` exactly as
+    * graft.sample.Dsir computes them.
+    */
+  private val dsirCtes: String = {
+    val b = DsirBuckets
+    "dnrm AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS ns FROM documents), " +
+      "dws AS (SELECT doc_id, lang, string_split(ns, ' ') AS w FROM dnrm), " +
+      "dbg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)), " +
+      "i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS g FROM dws WHERE len(w) >= 2), " +
+      s"dhb AS (SELECT doc_id, lang, CAST('0x' || substr(md5('0:' || g), 1, 15) AS BIGINT) % $b AS bucket FROM dbg), " +
+      "ddc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM dhb GROUP BY 1, 2), " +
+      "dsrc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS src_cnt FROM dhb GROUP BY 1), " +
+      "dtgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_cnt FROM dhb WHERE lang = 'en' GROUP BY 1), " +
+      "djn AS (SELECT s.bucket, s.src_cnt, CAST(COALESCE(t.tgt_cnt, 0) AS BIGINT) AS tgt_cnt " +
+      "FROM dsrc s LEFT JOIN dtgt t ON t.bucket = s.bucket), " +
+      "dtot AS (SELECT SUM(src_cnt) AS s_tot, SUM(tgt_cnt) AS t_tot FROM djn), " +
+      "dfit AS (SELECT bucket, src_cnt, tgt_cnt, " +
+      s"CAST((1000000 * (src_cnt + 1)) // (dtot.s_tot + $b) AS BIGINT) AS q_ppm, " +
+      s"CAST((1000000 * (tgt_cnt + 1)) // (dtot.t_tot + $b) AS BIGINT) AS p_ppm FROM djn, dtot), " +
+      "dwt AS (SELECT dc.doc_id, SUM(dc.cnt) AS n_ngrams, SUM(dc.cnt * f.p_ppm) AS num, " +
+      "SUM(dc.cnt * f.q_ppm) AS den FROM ddc dc JOIN dfit f ON f.bucket = dc.bucket GROUP BY 1), " +
+      // inner join == Spark's left join here: same-corpus apply means every
+      // doc bucket occurs in the source fit (df >= own cnt >= 1)
+      "dwv AS (SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, " +
+      "CAST((1000000 * num) // GREATEST(den, 1) AS BIGINT) AS w_ppm FROM dwt)"
+  }
+
   /** Shard-deal CTE (no WITH keyword): `sr(key, weight, rank)` recomputes
     * Sharding.assignShards' global (weight DESC, key-as-string ASC) rank
     * with a plain ROW_NUMBER — the semantics the two-pass distributed
@@ -2592,6 +2666,17 @@ object SparkEntry {
         "SELECT a.doc_id, a.n_trigrams, a.sum_df, " +
         "(1000000 * a.sum_df) // (a.n_trigrams * tot.total_docs) AS score_ppm " +
         "FROM agg a, tot ORDER BY a.doc_id"),
+    "q_dsir_bucket_dist" ->
+      (s"WITH $dsirCtes " +
+        "SELECT bucket, src_cnt, tgt_cnt, q_ppm, p_ppm FROM dfit ORDER BY bucket"),
+    "q_dsir_weights" ->
+      (s"WITH $dsirCtes " +
+        "SELECT doc_id, n_ngrams, w_ppm FROM dwv ORDER BY doc_id"),
+    "q_dsir_sample" ->
+      (s"WITH $dsirCtes, " +
+        "dpr AS (SELECT doc_id, w_ppm, CAST((w_ppm * 1000000) // " +
+        "(1 + (CAST('0x' || substr(md5('u:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)) AS BIGINT) AS priority FROM dwv) " +
+        "SELECT doc_id, w_ppm, priority FROM dpr ORDER BY priority DESC, doc_id LIMIT 100"),
     "q_media_meta" ->
       ("WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 64) * 8 AS INTEGER) AS width, " +
         "CAST(48 + (doc_id % 48) * 8 AS INTEGER) AS height, " +
