@@ -42,7 +42,7 @@ import graft.text.Familiarity
   *
   * Scale shape at 100 TB: fit = one map-side-combinable groupBy bounded
   * at B rows per corpus (always broadcastable); apply = map-only bigram
-  * explode + two BroadcastHashJoins + one partial-agg shuffle on doc id;
+  * explode + one BroadcastHashJoin + one partial-agg shuffle on doc id;
   * resampling = deterministic integer priority sampling (Duffield, Lund
   * & Thorup 2007: priority = weight/uniform, take top-k), which is a
   * distributed TakeOrdered — no global sort, no RNG state, reproducible
@@ -50,14 +50,16 @@ import graft.text.Familiarity
   */
 object Dsir {
 
-  /** Per-doc hashed-bigram bucket counts: (id, bucket, cnt) — one row per
-    * (doc, bucket) with cnt = number of bigram OCCURRENCES hashing there.
-    * Docs with fewer than two normalized words vanish (no feature stream;
+  /** One row per bigram OCCURRENCE: (id, bucket). Map-only (normalize,
+    * split, consecutive-pair transform, explode, hash — all codegen'd);
+    * docs with fewer than two normalized words vanish (no feature stream;
     * a curation gate length-rejects them upstream — same contract as
-    * Familiarity.score).
+    * Familiarity.score). Both the fit and the apply aggregate DIRECTLY
+    * off this relation, so neither pays a corpus-sized (id, bucket)
+    * pre-aggregation shuffle.
     */
-  def hashedBigramCounts(docs: DataFrame, idCol: String, textCol: String,
-                         buckets: Int): DataFrame =
+  private def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
+                            buckets: Int): DataFrame =
     docs.select(col(idCol).as("id"), Familiarity.normalized(col(textCol)).as("ns"))
       .withColumn("w", split(col("ns"), " "))
       .withColumn("bgs", expr(
@@ -66,6 +68,16 @@ object Dsir {
           "ELSE array() END"))
       .select(col("id"), explode(col("bgs")).as("g"))
       .select(col("id"), pmod(Sketches.hash60(0, col("g")), lit(buckets.toLong)).as("bucket"))
+
+  /** Per-doc hashed-bigram bucket counts: (id, bucket, cnt) — one row per
+    * (doc, bucket) with cnt = number of bigram occurrences hashing there.
+    * The materialized per-doc feature vector (e.g. for persisting a
+    * batch's features); the fit/weight paths below deliberately do NOT go
+    * through it — they aggregate occurrences directly.
+    */
+  def hashedBigramCounts(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): DataFrame =
+    bigramBuckets(docs, idCol, textCol, buckets)
       .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Joint fit of the source and target hashed-bigram distributions with
@@ -81,10 +93,10 @@ object Dsir {
     */
   def fitDists(source: DataFrame, target: DataFrame, idCol: String,
                textCol: String, buckets: Int, scale: Long = 1000000L): DataFrame = {
-    val srcC = hashedBigramCounts(source, idCol, textCol, buckets)
-      .groupBy("bucket").agg(sum("cnt").as("src_cnt"))
-    val tgtC = hashedBigramCounts(target, idCol, textCol, buckets)
-      .groupBy("bucket").agg(sum("cnt").as("tgt_cnt"))
+    val srcC = bigramBuckets(source, idCol, textCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("src_cnt"))
+    val tgtC = bigramBuckets(target, idCol, textCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
     val joined = srcC.join(tgtC, Seq("bucket"), "left")
       .withColumn("tgt_cnt", coalesce(col("tgt_cnt"), lit(0L)))
     val totals = joined.agg(sum("src_cnt").as("s_tot"), sum("tgt_cnt").as("t_tot"))
@@ -107,12 +119,12 @@ object Dsir {
   def importanceWeights(docs: DataFrame, dists: DataFrame, idCol: String,
                         textCol: String, buckets: Int,
                         scale: Long = 1000000L): DataFrame =
-    hashedBigramCounts(docs, idCol, textCol, buckets)
+    bigramBuckets(docs, idCol, textCol, buckets)
       .join(broadcast(dists.select("bucket", "q_ppm", "p_ppm")), Seq("bucket"), "left")
       .groupBy("id").agg(
-        sum("cnt").as("n_ngrams"),
-        sum(col("cnt") * coalesce(col("p_ppm"), lit(0L))).as("num"),
-        sum(col("cnt") * coalesce(col("q_ppm"), lit(0L))).as("den"))
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("num"),
+        sum(coalesce(col("q_ppm"), lit(0L))).as("den"))
       .withColumn("w_ppm", expr(s"(${scale}L * num) div greatest(den, 1L)"))
       .select("id", "n_ngrams", "w_ppm")
 

@@ -130,6 +130,28 @@ class DsirSpec extends AnyFunSuite {
     assert(w1 == w7)
   }
 
+  test("cross-corpus apply: fit-missing buckets contribute zero to both sums") {
+    val d = df(corpus: _*)
+    val fit = Dsir.fitDists(d, df(target: _*), "doc_id", "text", B)
+    // a new-batch doc with mostly-novel bigrams (buckets absent from the
+    // fit contribute 0/0 via the left join; colliding ones pick up the
+    // fit cell — the reference mirrors exactly that), plus an
+    // in-distribution doc that must score exactly what the same text
+    // scored inside the fit corpus (doc 1 minus its numbered tail)
+    val batch = Seq(90L -> "zyxw vutsr qponm lkjih gfedc baazz yywwv",
+      91L -> "the quick brown fox jumps over the lazy dog near the river bank")
+    val fitMap = refFit(corpus, target)
+    val want = counts(batch).map { case (id, cs) =>
+      val num = cs.map { case (b, c) => c * fitMap.get(b).map(_._4).getOrElse(0L) }.sum
+      val den = cs.map { case (b, c) => c * fitMap.get(b).map(_._3).getOrElse(0L) }.sum
+      id -> ((cs.values.sum, (1000000L * num) / math.max(den, 1L)))
+    }
+    val got = Dsir.importanceWeights(df(batch: _*), fit, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got(91L)._2 == refWeights(corpus, target)(1L)._2)
+  }
+
   test("priority sample is the deterministic w/u top-k; subset-stable in k") {
     val d = df(corpus: _*)
     val fit = Dsir.fitDists(d, df(target: _*), "doc_id", "text", B)
