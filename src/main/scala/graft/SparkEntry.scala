@@ -1140,6 +1140,30 @@ object SparkEntry {
         .select(col("a"), col("b"), col("est"))
         .orderBy("a", "b")
     }),
+    "q_bbit_pack" -> ((s, dir) => {
+      // b-bit MinHash packing (Li & Koenig 2010): 64 minhash longs ->
+      // five 14-slot 4-bit words (512 B -> 40 B per signature, the
+      // estimate-tier byte cut). Emitted as one column per word so the
+      // driver compare is scalar; DuckDB recomputes each word from the
+      // persisted full-width arrays with the same shift/mask arithmetic.
+      val sig = s.read.parquet(s"${pipelineRunDir(s, dir)}/03_sig")
+      val p = graft.sig.BBitMinHash.packed(sig, "url", "minhash", 64)
+      p.select(col("url") +: (0 until graft.sig.BBitMinHash.nWords(64)).map(w =>
+        element_at(col("bbit"), w + 1).as(s"w$w")): _*)
+        .orderBy("url")
+    }),
+    "q_bbit_est_pairs" -> ((s, dir) => {
+      // b-bit estimate tier over the run's candidate pairs: the Spark
+      // side consumes ONLY the packed words (the 40 B form a cluster
+      // would shuffle); DuckDB recomputes match count and the collision-
+      // corrected integer estimator from the raw 512 B arrays — agreeing
+      // rows prove pack+unpack+estimate end-to-end.
+      val rd = pipelineRunDir(s, dir)
+      val cands = s.read.parquet(s"$rd/05_cand")
+      val sig = s.read.parquet(s"$rd/03_sig")
+      val packed = graft.sig.BBitMinHash.packed(sig, "url", "minhash", 64)
+      graft.sig.BBitMinHash.estimatePairs(cands, packed, 64).orderBy("a", "b")
+    }),
     "q_shingle_df" -> ((s, dir) => {
       // Boilerplate-df operator (sig/Boilerplate): Spark recomputes shingle
       // document frequency from the normalized TEXT via the signature-stage
@@ -2947,6 +2971,26 @@ object SparkEntry {
         "CAST(len(list_filter(range(1, len(x.minhash) + 1), i -> x.minhash[i] = y.minhash[i])) AS DOUBLE) " +
         "/ CAST(len(x.minhash) AS DOUBLE) AS est " +
         "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b ORDER BY a, b"),
+    "q_bbit_pack" -> {
+      val words = (0 until graft.sig.BBitMinHash.nWords(64)).map { w =>
+        val lo = w * graft.sig.BBitMinHash.SlotsPerWord
+        val slots = math.min(graft.sig.BBitMinHash.SlotsPerWord, 64 - lo)
+        val sum = (0 until slots).map { i =>
+          s"((minhash[${lo + i + 1}] % 16) * ${1L << (4 * i)})"
+        }.mkString(" + ")
+        s"CAST($sum AS BIGINT) AS w$w"
+      }.mkString(", ")
+      s"SELECT url, $words FROM ${sigPq(dir)} ORDER BY url"
+    },
+    "q_bbit_est_pairs" ->
+      (s"WITH c AS (SELECT a, b FROM ${candPq(dir)}), " +
+        s"sig AS (SELECT url, minhash FROM ${sigPq(dir)}), " +
+        "m AS (SELECT c.a, c.b, CAST(len(list_filter(range(1, 65), " +
+        "k -> x.minhash[k] % 16 = y.minhash[k] % 16)) AS BIGINT) AS match_cnt " +
+        "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b) " +
+        "SELECT a, b, match_cnt, " +
+        "CAST(GREATEST(0, (1000000 * (match_cnt * 16 - 64)) // (64 * 15)) AS BIGINT) AS est_ppm " +
+        "FROM m ORDER BY a, b"),
     // Shingle document frequency recomputed INDEPENDENTLY by unnesting the
     // persisted 03_sig shingle arrays (per-doc distinct, so count(*) = df);
     // the Spark side re-derives the same rows from the normalized text.
