@@ -101,6 +101,19 @@ final case class DedupConfig(
     estPrefilter: Boolean = false,
     estSkipLow: Double = 0.40,
     estSkipHigh: Double = 0.97,
+    // b-bit variant of the estimate prefilter (Li & Koenig 2010,
+    // sig/BBitMinHash): the pair join ships 4-bit packed signatures
+    // (40 B/side) instead of the full 64-long arrays (512 B/side) — a
+    // 12.8x cut of the dominant prefilter exchange term — and the skip
+    // band widens by bbitBandMargin on both ends to absorb the coarser
+    // estimator's noise (sd <= ~0.067 at 64 slots vs ~0.054 full-width;
+    // the widened high bound exceeds 1.0, so ONLY the low side skips:
+    // the junk-pair bulk of a boilerplate-heavy candidate set, which is
+    // exactly the population the prefilter exists for). Pairs inside the
+    // widened band fall through to the exact shingle join, so labels
+    // stay identical w.h.p. (asserted on/off in EntryQueriesSpec).
+    bbitPrefilter: Boolean = false,
+    bbitBandMargin: Double = 0.18,
     // ---- verify-stage pair-scoring dataflow (scale knob) ----
     // The join dataflow's second pair join re-shuffles the stream side WITH
     // the first side's shingle array attached — one array copy PER PAIR

@@ -9,7 +9,7 @@ import graft.norm.TextNorm
 import graft.sa.SuffixLCS
 import graft.sig.{CheapEmbed, MinHashSig, SimHash}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end near-duplicate detection + clustering pipeline.
@@ -244,11 +244,12 @@ object DedupPipeline {
     val hammingCol = (bit_count($"a_hi".bitwiseXOR($"b_hi")) +
       bit_count($"a_lo".bitwiseXOR($"b_lo"))).as("hamming")
 
-    require(!(conf.verifyCoGroup && conf.estPrefilter),
-      "verifyCoGroup and estPrefilter select conflicting verify dataflows - enable at most one")
-    val scored: DataFrame = if (conf.verifyCoGroup && !conf.estPrefilter) {
+    require(Seq(conf.verifyCoGroup, conf.estPrefilter, conf.bbitPrefilter).count(identity) <= 1,
+      "verifyCoGroup / estPrefilter / bbitPrefilter select conflicting verify dataflows - enable at most one")
+    val anyPrefilter = conf.estPrefilter || conf.bbitPrefilter
+    val scored: DataFrame = if (conf.verifyCoGroup) {
       coGroupScore(spark, cands, sigs, conf)
-    } else if (!conf.estPrefilter) {
+    } else if (!anyPrefilter) {
       // Default: single pair join carrying the shingle arrays once.
       // Measured faster whenever the estimate-skip fraction is low or the
       // pairs side is broadcastable (every sandbox corpus; see
@@ -275,14 +276,27 @@ object DedupPipeline {
       // Prefilter dataflow: the pair join ships only fixed-width columns;
       // the size-unbounded shingle arrays join in for the estimate-
       // uncertainty band only, and the skip/exact branches are unioned
-      // (no join-back shuffle).
-      val sa = sigs.select($"url".as("a_url"), $"minhash".as("a_mh"), $"n_shingles".as("a_nsh"),
+      // (no join-back shuffle). bbitPrefilter ships the 4-bit packed
+      // signature (5 longs, 40 B) instead of the full 64-long array and
+      // widens the band by bbitBandMargin (DedupConfig scaladoc).
+      val mhCol: Column = if (conf.bbitPrefilter)
+        graft.sig.BBitMinHash.packExpr("minhash", conf.numPerm) else $"minhash"
+      val sa = sigs.select($"url".as("a_url"), mhCol.as("a_mh"), $"n_shingles".as("a_nsh"),
         $"exact_hash".as("a_eh"), $"simhash_hi".as("a_hi"), $"simhash_lo".as("a_lo"))
-      val sb = sigs.select($"url".as("b_url"), $"minhash".as("b_mh"), $"n_shingles".as("b_nsh"),
+      val sb = sigs.select($"url".as("b_url"), mhCol.as("b_mh"), $"n_shingles".as("b_nsh"),
         $"exact_hash".as("b_eh"), $"simhash_hi".as("b_hi"), $"simhash_lo".as("b_lo"))
-      // signature-equality estimate (codegen'd higher-order fns, no UDF)
-      val estCol = expr(
+      // signature-equality estimate (codegen'd higher-order fns, no UDF);
+      // the b-bit form applies the collision correction so both modes
+      // estimate the SAME quantity (Jaccard), just at different noise
+      val estCol: Column = if (conf.bbitPrefilter) {
+        val n = conf.numPerm
+        greatest(lit(0.0),
+          (graft.sig.BBitMinHash.matchCountExpr("a_mh", "b_mh", n) * lit(16.0) - lit(n.toDouble)) /
+            lit(n * 15.0))
+      } else expr(
         "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v)) / CAST(size(a_mh) AS DOUBLE)")
+      val skipLow = if (conf.bbitPrefilter) conf.estSkipLow - conf.bbitBandMargin else conf.estSkipLow
+      val skipHigh = if (conf.bbitPrefilter) conf.estSkipHigh + conf.bbitBandMargin else conf.estSkipHigh
       val pre = cands.toDF()
         .join(sa, $"a" === $"a_url").join(sb, $"b" === $"b_url")
         .withColumn("exact", $"a_eh" === $"b_eh")
@@ -293,7 +307,7 @@ object DedupPipeline {
         // empty set) — always resolve those exactly (jaccardSorted: both
         // empty -> 0.0, the reference's _jaccard_from_sets)
         .withColumn("need_exact_j", !$"exact" &&
-          (($"est" > conf.estSkipLow && $"est" < conf.estSkipHigh) ||
+          (($"est" > skipLow && $"est" < skipHigh) ||
             $"a_nsh" === 0 || $"b_nsh" === 0))
         .select($"a", $"b", $"exact", $"est", $"hamming", $"sim_sim",
           $"need_exact_j", $"a_nsh", $"b_nsh")

@@ -59,20 +59,21 @@ object BBitMinHash {
   def packed(sigs: DataFrame, urlCol: String, mhCol: String, numPerm: Int): DataFrame =
     sigs.select(col(urlCol).as("url"), packExpr(mhCol, numPerm).as("bbit"))
 
-  /** Number of agreeing b-bit slots between two packed signatures —
-    * unpack-compare-count over the word array, all codegen'd integer ops.
+  /** Number of agreeing b-bit slots between two packed signatures.
+    * SWAR nibble compare, 6 integer ops per word instead of 14 unpacked
+    * comparisons: x = a xor b is zero exactly in agreeing slots; OR-fold
+    * each nibble of x onto its lowest bit, mask to one indicator bit per
+    * slot, and bit_count gives the DISAGREEING slot count.
     */
   def matchCountExpr(aCol: String, bCol: String, numPerm: Int): Column = {
     val terms = (0 until nWords(numPerm)).map { w =>
       val lo = w * SlotsPerWord
       val slots = math.min(SlotsPerWord, numPerm - lo)
-      (0 until slots).map { i =>
-        val sh = Bits * i
-        s"IF((shiftright(element_at($aCol, ${w + 1}), $sh) & ${Mask}L) = " +
-          s"(shiftright(element_at($bCol, ${w + 1}), $sh) & ${Mask}L), 1L, 0L)"
-      }.mkString(" + ")
+      val mask = (0 until slots).map(i => 1L << (Bits * i)).reduce(_ | _)
+      val x = s"(element_at($aCol, ${w + 1}) ^ element_at($bCol, ${w + 1}))"
+      s"(${slots}L - bit_count(($x | shiftright($x, 1) | shiftright($x, 2) | shiftright($x, 3)) & ${mask}L))"
     }
-    expr(terms.mkString("(", ") + (", ")"))
+    expr(terms.mkString(" + "))
   }
 
   /** Collision-corrected Jaccard estimate in ppm from a match count. */

@@ -66,20 +66,26 @@ object PrefilterBench {
 
     runWith(DedupConfig.balanced, "warmup")
     val (dOn, sOn, wOn, rOn) = runWith(DedupConfig.balanced.copy(estPrefilter = true), "on")
+    val (dBb, sBb, wBb, rBb) = runWith(DedupConfig.balanced.copy(bbitPrefilter = true), "bbit")
     val (dOff, sOff, wOff, rOff) = runWith(DedupConfig.balanced, "off")
 
     val a = spark.read.parquet(s"$dOn/06_verdicts").select(col("pair_key"), col("final_label").as("la"))
     val b = spark.read.parquet(s"$dOff/06_verdicts").select(col("pair_key"), col("final_label").as("lb"))
     val labelDiffs = a.join(b, Seq("pair_key"), "full_outer")
       .filter(not(col("la") <=> col("lb"))).count()
+    val bb = spark.read.parquet(s"$dBb/06_verdicts").select(col("pair_key"), col("final_label").as("lc"))
+    val bbitDiffs = bb.join(b, Seq("pair_key"), "full_outer")
+      .filter(not(col("lc") <=> col("lb"))).count()
     val cOn = spark.read.parquet(s"$dOn/07_clusters")
       .select("url", "cluster_id").collect().map(_.toSeq).toSet
     val cOff = spark.read.parquet(s"$dOff/07_clusters")
+      .select("url", "cluster_id").collect().map(_.toSeq).toSet
+    val cBb = spark.read.parquet(s"$dBb/07_clusters")
       .select("url", "cluster_id").collect().map(_.toSeq).toSet
     val pairsTotal = a.count()
 
     spark.stop()
     println(
-      f"""{"pages":$nPages,"pairs":$pairsTotal,"sec_prefilter_on":$sOn%.2f,"sec_prefilter_off":$sOff%.2f,"shuffle_write_on":$wOn,"shuffle_write_off":$wOff,"shuffle_read_on":$rOn,"shuffle_read_off":$rOff,"shuffle_write_saved_pct":${100.0 * (wOff - wOn) / math.max(1L, wOff)}%.1f,"label_diffs":$labelDiffs,"clusters_identical":${cOn == cOff}}""")
+      f"""{"pages":$nPages,"pairs":$pairsTotal,"sec_prefilter_on":$sOn%.2f,"sec_prefilter_bbit":$sBb%.2f,"sec_prefilter_off":$sOff%.2f,"shuffle_write_on":$wOn,"shuffle_write_bbit":$wBb,"shuffle_write_off":$wOff,"shuffle_read_on":$rOn,"shuffle_read_bbit":$rBb,"shuffle_read_off":$rOff,"shuffle_write_saved_pct":${100.0 * (wOff - wOn) / math.max(1L, wOff)}%.1f,"shuffle_write_saved_bbit_pct":${100.0 * (wOff - wBb) / math.max(1L, wOff)}%.1f,"label_diffs":$labelDiffs,"label_diffs_bbit":$bbitDiffs,"clusters_identical":${cOn == cOff},"clusters_identical_bbit":${cBb == cOff}}""")
   }
 }

@@ -45,6 +45,11 @@ class EntryQueriesSpec extends AnyFunSuite {
     assert(on.keySet == off.keySet)
     val diffs = on.count { case (k, v) => off(k) != v }
     assert(diffs == 0, s"$diffs label differences between prefilter on/off")
+    // b-bit variant: 40 B packed signatures + widened band, same labels
+    val bbit = runWith(DedupConfig.balanced.copy(bbitPrefilter = true), "bbit")
+    assert(bbit.keySet == off.keySet)
+    val bdiffs = bbit.count { case (k, v) => off(k) != v }
+    assert(bdiffs == 0, s"$bdiffs label differences between bbit prefilter on/off")
   }
 
   test("upsertByKey: updates win per key, everything else survives") {
