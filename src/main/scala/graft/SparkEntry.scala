@@ -1164,6 +1164,29 @@ object SparkEntry {
       val packed = graft.sig.BBitMinHash.packed(sig, "url", "minhash", 64)
       graft.sig.BBitMinHash.estimatePairs(cands, packed, 64).orderBy("a", "b")
     }),
+    "q_oph_signatures" -> ((s, dir) => {
+      // One-permutation hashing with rotation densification (Li-Owen-
+      // Zhang 2012 / Shrivastava-Li 2014): one pass over the persisted
+      // shingle hashes instead of k=64 permutation evaluations. Exploded
+      // to (url, bin, v) so the driver compare is scalar; the DuckDB
+      // oracle recomputes bin mins AND the densification walk from the
+      // same 03_sig arrays.
+      val sig = s.read.parquet(s"${pipelineRunDir(s, dir)}/03_sig")
+        .select("url", "shingles")
+      graft.sig.Oph.signatureTable(sig, "url", "shingles", 64)
+        .select(col("url"), posexplode(col("oph")))
+        .select(col("url"), col("pos").cast("long").as("bin"), col("col").as("v"))
+        .orderBy("url", "bin")
+    }),
+    "q_oph_est_pairs" -> ((s, dir) => {
+      // OPH bin-agreement Jaccard estimate over the run's candidate
+      // pairs — the one-pass signature feeding the same estimate tier
+      val rd = pipelineRunDir(s, dir)
+      val cands = s.read.parquet(s"$rd/05_cand")
+      val sig = s.read.parquet(s"$rd/03_sig").select("url", "shingles")
+      val t = graft.sig.Oph.signatureTable(sig, "url", "shingles", 64)
+      graft.sig.Oph.estimatePairs(cands, t, 64).orderBy("a", "b")
+    }),
     "q_shingle_df" -> ((s, dir) => {
       // Boilerplate-df operator (sig/Boilerplate): Spark recomputes shingle
       // document frequency from the normalized TEXT via the signature-stage
@@ -1982,6 +2005,22 @@ object SparkEntry {
       "dwv AS (SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, " +
       "CAST((1000000 * num) // GREATEST(den, 1) AS BIGINT) AS w_ppm FROM dwt)"
   }
+
+  /** OPH CTEs (no WITH keyword): bin the persisted 03_sig shingle hashes
+    * by pmod 64, min per (url, bin), then the rotation-densification walk
+    * as a correlated smallest-t donor lookup XOR-mixed with t·MixC —
+    * exactly sig/Oph.signature. Docs with empty shingle sets drop on both
+    * sides (no rows to bin).
+    */
+  private def ophCtes(dir: String): String =
+    s"oex AS (SELECT url, unnest(shingles) AS h FROM ${sigPq(dir)}), " +
+      "om AS (SELECT url, CAST(((h % 64) + 64) % 64 AS INTEGER) AS bin, MIN(h) AS mn FROM oex GROUP BY 1, 2), " +
+      "ogrid AS (SELECT u.url, CAST(r.j AS INTEGER) AS j FROM (SELECT DISTINCT url FROM om) u, range(0, 64) r(j)), " +
+      "odense AS (SELECT g.url, g.j, COALESCE(m0.mn, (" +
+      s"SELECT xor(m2.mn, t.t * ${graft.sig.Oph.MixC}) FROM range(1, 64) t(t) " +
+      "JOIN om m2 ON m2.url = g.url AND m2.bin = CAST((g.j + t.t) % 64 AS INTEGER) " +
+      "ORDER BY t.t LIMIT 1)) AS v " +
+      "FROM ogrid g LEFT JOIN om m0 ON m0.url = g.url AND m0.bin = g.j)"
 
   /** Shard-deal CTE (no WITH keyword): `sr(key, weight, rank)` recomputes
     * Sharding.assignShards' global (weight DESC, key-as-string ASC) rank
@@ -2990,6 +3029,18 @@ object SparkEntry {
         "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b) " +
         "SELECT a, b, match_cnt, " +
         "CAST(GREATEST(0, (1000000 * (match_cnt * 16 - 64)) // (64 * 15)) AS BIGINT) AS est_ppm " +
+        "FROM m ORDER BY a, b"),
+    "q_oph_signatures" ->
+      (s"WITH ${ophCtes(dir)} " +
+        "SELECT url, CAST(j AS BIGINT) AS bin, v FROM odense ORDER BY url, bin"),
+    "q_oph_est_pairs" ->
+      (s"WITH ${ophCtes(dir)}, " +
+        "opa AS (SELECT url, list(v ORDER BY j) AS sig FROM odense GROUP BY url), " +
+        s"c AS (SELECT a, b FROM ${candPq(dir)}), " +
+        "m AS (SELECT c.a, c.b, CAST(len(list_filter(range(1, 65), " +
+        "k -> x.sig[k] = y.sig[k])) AS BIGINT) AS match_cnt " +
+        "FROM c JOIN opa x ON x.url = c.a JOIN opa y ON y.url = c.b) " +
+        "SELECT a, b, match_cnt, CAST((1000000 * match_cnt) // 64 AS BIGINT) AS est_ppm " +
         "FROM m ORDER BY a, b"),
     // Shingle document frequency recomputed INDEPENDENTLY by unnesting the
     // persisted 03_sig shingle arrays (per-doc distinct, so count(*) = df);
