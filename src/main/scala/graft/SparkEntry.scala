@@ -1412,6 +1412,23 @@ object SparkEntry {
       graft.text.DupSpans.spans(planted, "doc_id", "text", k = 8)
         .orderBy("doc_id", "span_start")
     }),
+    "q_dup_span_removal" -> ((s, dir) => {
+      // ExactSubstr APPLY (Lee et al.: keep one occurrence, cut the
+      // rest): same planted corpus as q_dup_spans; the globally first
+      // (doc_id, pos) occurrence of each duplicated window survives,
+      // every other occurrence's merged span is spliced out of the
+      // token stream. DuckDB recomputes windows, the keep-one rule, the
+      // island merge, AND the token splice end-to-end.
+      val d = docs(s, dir)
+      val toks0 = graft.text.Decontaminate.tokensCol(col("text"))
+      val planted = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 25 === 0,
+          concat(lit(" "), concat_ws(" ", slice(toks0, 1, 8)))).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit(" " + DupChorus)).otherwise(lit("")))
+        .as("text"))
+      graft.text.DupSpans.removeSpans(planted, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination (text/Decontaminate Scaladoc): the eval
       // set is derived from the corpus itself — tokens 3..22 of every
@@ -3324,6 +3341,28 @@ object SparkEntry {
         "CAST(MAX(pos) + 7 AS BIGINT) AS span_end, " +
         "CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_len " +
         "FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"),
+    "q_dup_span_removal" ->
+      ("WITH base AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks0 FROM documents), " +
+        "p AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 25 = 0 THEN ' ' || array_to_string(toks0[1:8], ' ') ELSE '' END || " +
+        s"CASE WHEN doc_id % 10 = 0 THEN ' $DupChorus' ELSE '' END AS text FROM base), " +
+        "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM p), " +
+        "w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM d WHERE len(toks) >= 8)), " +
+        "wr AS (SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY g) AS occ FROM w), " +
+        "rem AS (SELECT doc_id, pos FROM wr WHERE occ >= 2 AND rn > 1), " +
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM rem), " +
+        "sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl GROUP BY doc_id, island), " +
+        "tkp AS (SELECT doc_id, i, toks[CAST(i AS INTEGER)] AS tok FROM " +
+        "(SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d)), " +
+        "kept AS (SELECT t.doc_id, t.i, t.tok FROM tkp t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.s AND sp.e)) " +
+        "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(d.toks) - COUNT(k.i) AS BIGINT) AS n_removed, " +
+        "COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text " +
+        "FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id " +
+        "GROUP BY d.doc_id, d.toks ORDER BY d.doc_id"),
     // Decontamination: DuckDB re-derives the eval slice (tokens 3..22 of
     // doc_id % 97 = 0 docs), builds both n-gram sets with the same
     // tokenizer (whitespace split of trim+lower), joins, and counts

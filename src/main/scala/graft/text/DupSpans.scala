@@ -53,4 +53,52 @@ object DupSpans {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
+
+  /** The APPLY half of ExactSubstr dedup (Lee et al. §3: "when the same
+    * substring appears multiple times we keep one occurrence and remove
+    * the rest"): cut every duplicated window run from every occurrence
+    * EXCEPT the globally first one (min (id, pos) per window key — a
+    * deterministic keep-one that needs no coordination beyond the same
+    * key groupBy the detector already does). Returns
+    * (idCol, n_tokens, n_removed, clean_text) with clean_text = the
+    * surviving tokens joined by single spaces.
+    *
+    * Scale shape: the keep-one rule rides the existing window-key
+    * groupBy as a partial-aggregated min(struct(id, pos)) — map-side
+    * combinable, no per-key sort; removable windows attach by one
+    * equi-join on the key (multiplicity 1 — no blowup on boilerplate
+    * mega-keys); span merge is the same per-doc gaps-and-islands pass;
+    * and the text splice is a codegen'd higher-order projection.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = windowRows(df, idCol, textCol, k)
+    val keyAgg = w.groupBy(col("g")).agg(
+      count(lit(1)).as("occ"),
+      min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("first"))
+      .filter(col("occ") >= 2)
+      .select(col("g"), col("first.fid").as("fid"), col("first.fpos").as("fpos"))
+    val removable = w.join(keyAgg, Seq("g"))
+      .filter(!(col(idCol) === col("fid") && col("pos") === col("fpos")))
+      .select(col(idCol), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val docSpans = removable
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    df.select(col(idCol), Decontaminate.tokensCol(col(textCol)).as("tk"))
+      .join(docSpans, Seq(idCol), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), expr("CAST(array() AS array<struct<s:int,e:int>>)")))
+      .withColumn("kept", expr(
+        "filter(transform(sequence(1, size(tk)), i -> " +
+          "IF(exists(spans, sp -> i >= sp.s AND i <= sp.e), CAST(NULL AS STRING), " +
+          "element_at(tk, CAST(i AS INT)))), x -> x IS NOT NULL)"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

@@ -62,6 +62,35 @@ class DupSpansSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 6L, 6L), (2L, 1L, 6L, 6L)))
   }
 
+  test("removeSpans keeps exactly the first occurrence, cuts the rest") {
+    val c = corpus(
+      (1L, "a b c d e f x y"),     // first occurrence of the run (doc 1, pos 1)
+      (2L, "p q a b c d e f"),     // later occurrence -> cut
+      (3L, "u v w z1 z2 z3 z4 z5"))// no duplication -> untouched
+    val got = DupSpans.removeSpans(c, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((8L, 0L, "a b c d e f x y")))
+    assert(got(2L) == ((8L, 6L, "p q")))
+    assert(got(3L) == ((8L, 0L, "u v w z1 z2 z3 z4 z5")))
+  }
+
+  test("removeSpans cuts the second within-doc occurrence only") {
+    val c = corpus((1L, "a b c d x x a b c d"))
+    val got = DupSpans.removeSpans(c, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(got == ((10L, 4L, "a b c d x x")))
+  }
+
+  test("removeSpans: total tokens removed + kept == original everywhere") {
+    val c = corpus(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "m n o p a b c d"), (4L, "q r s t"))
+    DupSpans.removeSpans(c, "doc_id", "text", k = 4).collect().foreach { r =>
+      val kept = if (r.getString(3).isEmpty) 0 else r.getString(3).split(" ").length
+      assert(r.getLong(1) - r.getLong(2) == kept.toLong)
+    }
+  }
+
   test("plan: dup-key reacquisition is a semi join (no multiplicity blowup)") {
     val plan = DupSpans.spans(corpus((1L, "a b c d"), (2L, "a b c d")),
       "doc_id", "text", 4).queryExecution.executedPlan.toString
