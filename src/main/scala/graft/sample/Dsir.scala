@@ -93,12 +93,16 @@ object Dsir {
     */
   def fitDists(source: DataFrame, target: DataFrame, idCol: String,
                textCol: String, buckets: Int, scale: Long = 1000000L): DataFrame = {
-    val srcC = bigramBuckets(source, idCol, textCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("src_cnt"))
-    val tgtC = bigramBuckets(target, idCol, textCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
-    val joined = srcC.join(tgtC, Seq("bucket"), "left")
-      .withColumn("tgt_cnt", coalesce(col("tgt_cnt"), lit(0L)))
+    // one flagged union -> ONE map-side-combinable bucket aggregate for
+    // both distributions (instead of two separate corpus passes + a join);
+    // the totals re-read of the <=B-row aggregate reuses its exchange at
+    // execution (Spark's ReuseExchange)
+    val u = bigramBuckets(source, idCol, textCol, buckets).withColumn("is_t", lit(0L))
+      .unionByName(bigramBuckets(target, idCol, textCol, buckets).withColumn("is_t", lit(1L)))
+    val joined = u.groupBy("bucket").agg(
+      sum(lit(1L) - col("is_t")).as("src_cnt"),
+      sum(col("is_t")).as("tgt_cnt"))
+      .filter(col("src_cnt") >= 1L)
     val totals = joined.agg(sum("src_cnt").as("s_tot"), sum("tgt_cnt").as("t_tot"))
     joined.crossJoin(broadcast(totals))
       .withColumn("q_ppm", expr(s"(${scale}L * (src_cnt + 1L)) div (s_tot + ${buckets}L)"))

@@ -224,4 +224,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!pk.contains("hashpartitioning"),
       s"chunking introduced a hash shuffle:\n$pk")
   }
+
+  test("DSIR weights: fit joins broadcast, one per-doc hash shuffle, no cartesian") {
+    val p = planOf(SparkEntry.queries("q_dsir_weights")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"DSIR fit join must broadcast, not shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"DSIR fit join lost its broadcast:\n$p")
+    // exactly one corpus-sized hash exchange: the per-doc weight aggregate.
+    // The two <=B-row fit aggregates are bounded by the bucket count, so
+    // at most three hash exchanges total, and partial aggregation must
+    // cover the per-doc sum
+    val nHash = "hashpartitioning".r.findAllIn(p).size
+    assert(nHash <= 3, s"DSIR weights grew extra hash shuffles (got $nHash):\n$p")
+    assert(p.contains("HashAggregate"), s"DSIR lost map-side partial agg:\n$p")
+  }
+
+  test("b-bit estimate pairs: packed-signature joins stay equi, no cartesian") {
+    val df = SparkEntry.queries("q_bbit_est_pairs")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"b-bit pair path degraded:\n$p")
+    // the match/estimate arithmetic is a codegen'd projection, not an agg
+    // (codegen spans only appear on the EXECUTED plan under AQE)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("WholeStageCodegen") || ep.contains("*("),
+      s"b-bit estimator fell out of codegen:\n$ep")
+  }
+
+  test("OPH signature table: binned min + bounded map collect, no cartesian") {
+    val p = planOf(SparkEntry.queries("q_oph_signatures")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"OPH path degraded:\n$p")
+    // two aggregates: (url, bin) min with partial agg, then the per-url
+    // k-entry map collect — both hash exchanges on url-derived keys
+    assert(p.contains("HashAggregate"), s"OPH lost map-side partial agg:\n$p")
+  }
 }
