@@ -1572,6 +1572,23 @@ object SparkEntry {
           concat_ws(" ", slice(col("ts"), col("start"), lit(sz))).as("chunk"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q_bpe_fertility" -> ((s, dir) => {
+      // Tokenizer fertility (subwords per word) by language — the metric
+      // tokenizer teams watch when a shared vocab under-serves a
+      // language. Same fit/apply machinery as q_bpe_doc_tokens, grouped
+      // by lang, with the ratio as one integer floor division in ppm.
+      val wt = graft.text.Bpe.wordTypes(docs(s, dir), "text")
+      val merges = bpeMergeList(s, wt)
+      val lenUdf = udf((w: String) => graft.text.Bpe.segment(w, merges).length.toLong)
+      docs(s, dir).select(col("lang"),
+          explode(graft.text.Decontaminate.tokensCol(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_words"),
+          sum(lenUdf(col("word"))).as("n_subwords"))
+        .withColumn("fertility_ppm", expr("(1000000L * n_subwords) div n_words"))
+        .orderBy("lang")
+    }),
     "q_bpe_doc_tokens" -> ((s, dir) => {
       // Tokenizer-cost accounting: per-doc BPE subword count under the
       // learned merges = SUM over the doc's words of the word TYPE's
@@ -3451,6 +3468,14 @@ object SparkEntry {
         "CAST(len(ts[s:s+31]) AS BIGINT) AS n_toks, " +
         "array_to_string(ts[s:s+31], ' ') AS chunk " +
         "FROM st ORDER BY doc_id, chunk_idx"),
+    "q_bpe_fertility" ->
+      (s"WITH ${bpeGenCtes(BpeMergeSteps, finalGen = true)}, " +
+        "dt AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents) " +
+        s"SELECT dt.lang, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        s"CAST(SUM(len(g$BpeMergeSteps.segs)) AS BIGINT) AS n_subwords, " +
+        s"CAST((1000000 * SUM(len(g$BpeMergeSteps.segs))) // COUNT(*) AS BIGINT) AS fertility_ppm " +
+        s"FROM dt JOIN g$BpeMergeSteps ON g$BpeMergeSteps.word = dt.word " +
+        "GROUP BY dt.lang ORDER BY dt.lang"),
     "q_bpe_doc_tokens" ->
       (s"WITH ${bpeGenCtes(BpeMergeSteps, finalGen = true)}, " +
         "dt AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents) " +
