@@ -155,4 +155,37 @@ object Dsir {
     */
   private def uSqlSpark(idCol: String, scale: Long): String =
     s"(1L + pmod(cast(conv(substring(md5(concat('u:', cast($idCol as string))), 1, 15), 16, 10) as long), ${scale}L))"
+
+  /** JVM-local md5-prefix 60-bit hash — the single-row mirror of
+    * [[Sketches.hash60]] (md5 over UTF-8 bytes is bit-identical in the
+    * JVM, Spark, and DuckDB).
+    */
+  def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Single-row importance weight with EXACTLY the distributed integer
+    * semantics ([[importanceWeights]]): for stream-boundary gating, where
+    * the fit is a broadcast Map(bucket -> (q_ppm, p_ppm)). None when the
+    * doc has no bigram stream (fewer than two normalized words) — the
+    * same docs the distributed apply drops.
+    */
+  def weightPpmLocal(text: String, fit: Map[Long, (Long, Long)], buckets: Int,
+                     scale: Long = 1000000L): Option[Long] = {
+    val n = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z]+", " ").trim
+    if (n.isEmpty) return None
+    val w = n.split(" ")
+    if (w.length < 2) return None
+    var num = 0L
+    var den = 0L
+    var i = 0
+    while (i < w.length - 1) {
+      val b = math.floorMod(hash60Local("0:" + w(i) + " " + w(i + 1)), buckets.toLong)
+      fit.get(b).foreach { case (q, p) => num += p; den += q }
+      i += 1
+    }
+    Some((scale * num) / math.max(den, 1L))
+  }
 }

@@ -197,6 +197,28 @@ object StreamingDedup {
     }
   }
 
+  /** DSIR importance-weight gate at the stream boundary: keep pages whose
+    * hashed-bigram target/source ratio (sample/Dsir, exact integer
+    * semantics via [[graft.sample.Dsir.weightPpmLocal]]) clears the
+    * threshold. The fit is the ≤B-row Map from a BATCH
+    * [[graft.sample.Dsir.fitDists]] run, broadcast once — so the stream
+    * applies the SAME model the batch corpus assembly used, and stream
+    * membership equals the batch apply's (asserted in
+    * StreamingCurateSpec). Stateless map-only plan: no watermark, no
+    * state store, composes with curateStream/dedupStream. Docs without a
+    * bigram stream drop, matching the distributed apply.
+    */
+  def dsirGateStream(spark: SparkSession, pages: Dataset[Page],
+                     fit: Map[Long, (Long, Long)], buckets: Int,
+                     minWeightPpm: Long): Dataset[Page] = {
+    val bc = spark.sparkContext.broadcast(fit)
+    pages.filter { p =>
+      val text = if (p.text == null) "" else p.text
+      graft.sample.Dsir.weightPpmLocal(text, bc.value, buckets)
+        .exists(_ >= minWeightPpm)
+    }
+  }
+
   /** Watermarked sliding corpus metrics: per-window language histogram —
     * the streaming twin of q_lang_hist. Late data beyond the watermark is
     * dropped, closed windows are emitted exactly once in Append mode.

@@ -85,6 +85,42 @@ class StreamingCurateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DSIR gate on a stream picks exactly the batch apply's members") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val B = 64
+    val texts: Seq[(String, String)] =
+      (1 to 6).map(i => s"t$i" -> s"the quick brown fox jumps over the lazy dog run $i") ++
+        (1 to 9).map(i => s"s$i" -> s"click here buy now free offer limited deal winner prize $i") ++
+        Seq("m1" -> "the quick brown fox jumps click here buy now free offer",
+          "x1" -> "solo")
+    val df = texts.toDF("url", "text")
+    val fitDf = graft.sample.Dsir.fitDists(df, df.filter(col("url").startsWith("t")),
+      "url", "text", B)
+    val fit = fitDf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val batchW = graft.sample.Dsir.importanceWeights(df, fitDf, "url", "text", B)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // single-row mirror == distributed apply, doc by doc (incl. the drop)
+    texts.foreach { case (u, t) =>
+      assert(graft.sample.Dsir.weightPpmLocal(t, fit, B) == batchW.get(u), u)
+    }
+    val thr = 1000000L
+    val want = batchW.filter(_._2 >= thr).keySet
+    assert(want.nonEmpty && want != batchW.keySet, "threshold must split the corpus")
+    val in = MemoryStream[Page]
+    val q = StreamingDedup.dsirGateStream(spark, in.toDS(), fit, B, thr)
+      .writeStream.format("memory").queryName("dsir_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(texts.zipWithIndex.map { case ((u, t), i) => page(u, t, i) }: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT url FROM dsir_gate_out").as[String].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("empty/whitespace/null text is all-OOV (batch Vocab parity) and drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
