@@ -114,6 +114,17 @@ final case class DedupConfig(
     // stay identical w.h.p. (asserted on/off in EntryQueriesSpec).
     bbitPrefilter: Boolean = false,
     bbitBandMargin: Double = 0.18,
+    // One-permutation-hashing signer (sig/Oph): replaces the k=64
+    // permutation evaluations per shingle with ONE binned-min pass —
+    // O(|shingles|) signing CPU instead of O(k·|shingles|), the dominant
+    // map-side cost of the signature stage at corpus scale. Banding,
+    // estimates, and exact verification are signature-layout-agnostic, so
+    // everything downstream runs unchanged; candidate RECALL is the only
+    // axis that can move (verification stays exact), asserted >= 0.99 of
+    // the classic signer's duplicate pairs in OphSpec. OFF by default:
+    // reference golden parity (PipelineGoldenSpec) is pinned to the
+    // classic k-permutation signer.
+    signerOph: Boolean = false,
     // ---- verify-stage pair-scoring dataflow (scale knob) ----
     // The join dataflow's second pair join re-shuffles the stream side WITH
     // the first side's shingle array attached — one array copy PER PAIR

@@ -73,7 +73,9 @@ object DedupPipeline {
     val toks = simToks.filterNot(TextNorm.DefaultStopwords)
     val distinctSorted = graft.sig.Boilerplate.suppress(
       graft.sig.Shingles.fromTokens(toks, conf.shingleSize), hotShingles)
-    val mh = MinHashSig.signature(distinctSorted, as, bs)
+    val mh =
+      if (conf.signerOph) graft.sig.Oph.signature(distinctSorted, conf.numPerm)
+      else MinHashSig.signature(distinctSorted, as, bs)
     val s = SimHash.fromTokens(simToks, conf.maxTokenWeight, conf.simhashBits)
     DocSig(d.url, d.exact_hash, distinctSorted.length, distinctSorted, mh, s.hi, s.lo)
   }

@@ -73,6 +73,26 @@ class OphSpec extends AnyFunSuite {
     assert(est(("x", "z")) < 0.15)
   }
 
+  test("pipeline with the OPH signer keeps >= 0.99 of the classic duplicate pairs") {
+    import spark.implicits._
+    val (pages, _) = graft.pages.PagesSource.syntheticCorpus(spark, nFamilies = 40, membersPerFamily = 6)
+    def dupPairs(conf: graft.DedupConfig, tag: String): Set[String] = {
+      val dir = s"/tmp/graft_test_ophsigner_$tag"
+      TestUtil.deleteRecursively(new java.io.File(dir))
+      graft.plans.DedupPipeline.run(spark, pages, dir, conf, resume = false)
+      spark.read.parquet(s"$dir/06_verdicts")
+        .filter($"final_label" === "DUPLICATE")
+        .select($"pair_key").as[String].collect().toSet
+    }
+    val classic = dupPairs(graft.DedupConfig.balanced, "off")
+    val oph = dupPairs(graft.DedupConfig.balanced.copy(signerOph = true), "on")
+    // verification is exact, so precision is structural: every OPH dup
+    // pair must verify under the same thresholds — only candidate recall
+    // can move between signers
+    val recall = (classic & oph).size.toDouble / classic.size
+    assert(recall >= 0.99, s"OPH-signer dup-pair recall $recall vs classic (|classic|=${classic.size})")
+  }
+
   test("signature table is partition invariant") {
     val rows = (1L to 30L).map(i => s"u$i" -> fakeShingles(i, 20 + (i % 50).toInt))
     val d1 = shDf(rows: _*).repartition(1)
