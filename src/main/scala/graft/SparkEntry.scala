@@ -2026,8 +2026,13 @@ object SparkEntry {
       "ddc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM dhb GROUP BY 1, 2), " +
       "dsrc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS src_cnt FROM dhb GROUP BY 1), " +
       "dtgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_cnt FROM dhb WHERE lang = 'en' GROUP BY 1), " +
-      "djn AS (SELECT s.bucket, s.src_cnt, CAST(COALESCE(t.tgt_cnt, 0) AS BIGINT) AS tgt_cnt " +
-      "FROM dsrc s LEFT JOIN dtgt t ON t.bucket = s.bucket), " +
+      // full-outer to mirror Dsir.fitDists: buckets occurring in EITHER
+      // corpus keep a row (no-op here — the query's target is a subset of
+      // its source — but the semantics stay aligned for external targets)
+      "djn AS (SELECT COALESCE(s.bucket, t.bucket) AS bucket, " +
+      "CAST(COALESCE(s.src_cnt, 0) AS BIGINT) AS src_cnt, " +
+      "CAST(COALESCE(t.tgt_cnt, 0) AS BIGINT) AS tgt_cnt " +
+      "FROM dsrc s FULL OUTER JOIN dtgt t ON t.bucket = s.bucket), " +
       "dtot AS (SELECT SUM(src_cnt) AS s_tot, SUM(tgt_cnt) AS t_tot FROM djn), " +
       "dfit AS (SELECT bucket, src_cnt, tgt_cnt, " +
       s"CAST((1000000 * (src_cnt + 1)) // (dtot.s_tot + $b) AS BIGINT) AS q_ppm, " +
@@ -3044,12 +3049,17 @@ object SparkEntry {
         "CAST(len(list_filter(range(1, len(x.minhash) + 1), i -> x.minhash[i] = y.minhash[i])) AS DOUBLE) " +
         "/ CAST(len(x.minhash) AS DOUBLE) AS est " +
         "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b ORDER BY a, b"),
+    // Sign-safe low-bits extraction (((v % 16) + 16) % 16) == Spark's pmod
+    // for NEGATIVE minhash values too, so these two oracles stay correct
+    // whichever signer produced the persisted column: classic MinHash
+    // values are nonnegative (mod 2^61-1) but the OPH signer's bin minima
+    // are raw xxh64 hashes, negative about half the time.
     "q_bbit_pack" -> {
       val words = (0 until graft.sig.BBitMinHash.nWords(64)).map { w =>
         val lo = w * graft.sig.BBitMinHash.SlotsPerWord
         val slots = math.min(graft.sig.BBitMinHash.SlotsPerWord, 64 - lo)
         val sum = (0 until slots).map { i =>
-          s"((minhash[${lo + i + 1}] % 16) * ${1L << (4 * i)})"
+          s"((((minhash[${lo + i + 1}] % 16) + 16) % 16) * ${1L << (4 * i)})"
         }.mkString(" + ")
         s"CAST($sum AS BIGINT) AS w$w"
       }.mkString(", ")
@@ -3059,7 +3069,7 @@ object SparkEntry {
       (s"WITH c AS (SELECT a, b FROM ${candPq(dir)}), " +
         s"sig AS (SELECT url, minhash FROM ${sigPq(dir)}), " +
         "m AS (SELECT c.a, c.b, CAST(len(list_filter(range(1, 65), " +
-        "k -> x.minhash[k] % 16 = y.minhash[k] % 16)) AS BIGINT) AS match_cnt " +
+        "k -> ((x.minhash[k] % 16) + 16) % 16 = ((y.minhash[k] % 16) + 16) % 16)) AS BIGINT) AS match_cnt " +
         "FROM c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b) " +
         "SELECT a, b, match_cnt, " +
         "CAST(GREATEST(0, (1000000 * (match_cnt * 16 - 64)) // (64 * 15)) AS BIGINT) AS est_ppm " +

@@ -82,11 +82,14 @@ object Dsir {
 
   /** Joint fit of the source and target hashed-bigram distributions with
     * add-one-smoothed integer frequencies: (bucket, src_cnt, tgt_cnt,
-    * q_ppm, p_ppm), one row per bucket OCCURRING in the source corpus
-    * (the target is a subset of the source in the standard DSIR setup, so
-    * its buckets are covered; tgt_cnt = 0 where the target never hashes
-    * there). q_ppm/p_ppm are the smoothed per-occurrence frequencies in
-    * parts-per-`scale`:
+    * q_ppm, p_ppm), one row per bucket occurring in EITHER corpus —
+    * full-outer semantics, so with an external target (the paper's
+    * Wikipedia-target-vs-crawl-source setup) target mass hashing to
+    * source-unseen buckets still counts toward t_tot and keeps its row,
+    * instead of silently vanishing and misnormalizing p_ppm. In the
+    * in-repo target-is-a-subset setup the extra rows never materialize
+    * (every target bucket occurs in the source). q_ppm/p_ppm are the
+    * smoothed per-occurrence frequencies in parts-per-`scale`:
     *   q_ppm = (scale*(src_cnt+1)) div (src_total + B)   [source]
     *   p_ppm = (scale*(tgt_cnt+1)) div (tgt_total + B)   [target]
     * Bounded at B rows — broadcastable at any corpus size.
@@ -102,7 +105,6 @@ object Dsir {
     val joined = u.groupBy("bucket").agg(
       sum(lit(1L) - col("is_t")).as("src_cnt"),
       sum(col("is_t")).as("tgt_cnt"))
-      .filter(col("src_cnt") >= 1L)
     val totals = joined.agg(sum("src_cnt").as("s_tot"), sum("tgt_cnt").as("t_tot"))
     joined.crossJoin(broadcast(totals))
       .withColumn("q_ppm", expr(s"(${scale}L * (src_cnt + 1L)) div (s_tot + ${buckets}L)"))
@@ -171,6 +173,12 @@ object Dsir {
     * the fit is a broadcast Map(bucket -> (q_ppm, p_ppm)). None when the
     * doc has no bigram stream (fewer than two normalized words) — the
     * same docs the distributed apply drops.
+    *
+    * Locale caveat: this mirror lowercases with Locale.ROOT; Spark's
+    * `lower()` uses the JVM default locale for non-ASCII input, so on a
+    * special-casing default locale (tr_TR 'I'/'İ') non-ASCII text can
+    * diverge from the batch apply. Pin the JVM default locale in
+    * production entrypoints (see StreamingDedup.dsirGateStream).
     */
   def weightPpmLocal(text: String, fit: Map[Long, (Long, Long)], buckets: Int,
                      scale: Long = 1000000L): Option[Long] = {

@@ -207,6 +207,15 @@ object StreamingDedup {
     * StreamingCurateSpec). Stateless map-only plan: no watermark, no
     * state store, composes with curateStream/dedupStream. Docs without a
     * bigram stream drop, matching the distributed apply.
+    *
+    * Locale caveat (shared with every JVM-local mirror in this repo —
+    * Vocab/Winnow/Decontaminate): the local lowercase pins Locale.ROOT,
+    * while Spark's `lower()` falls back to the JVM default locale for
+    * non-ASCII input. On a JVM whose default locale has special casing
+    * (e.g. tr_TR 'I'/'İ') a non-ASCII text can make stream membership
+    * diverge from the batch apply — pin the default locale (-Duser
+    * .language=en) in production entrypoints, as Verify/Bench here run
+    * under the sandbox's en default.
     */
   def dsirGateStream(spark: SparkSession, pages: Dataset[Page],
                      fit: Map[Long, (Long, Long)], buckets: Int,

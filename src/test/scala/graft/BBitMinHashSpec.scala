@@ -53,6 +53,28 @@ class BBitMinHashSpec extends AnyFunSuite {
     assert(selfEst == 1000000L)
   }
 
+  test("negative signature values pack by pmod (the OPH signer's raw xxh64 bins)") {
+    // classic MinHash values are nonnegative (mod 2^61-1), but the OPH
+    // signer persists raw xxh64 bin minima — negative about half the
+    // time. Packing and matching must be floorMod-consistent so the
+    // signer-agnostic oracle SQL (((v % 16) + 16) % 16) agrees.
+    val a = Array.tabulate(NumPerm)(i => if (i % 2 == 0) -fakeSig(3L)(i) else fakeSig(3L)(i))
+    val b = Array.tabulate(NumPerm)(i => if (i % 3 == 0) -fakeSig(4L)(i) else a(i))
+    val packed = BBitMinHash.packed(sigDf("a" -> a, "b" -> b), "url", "minhash", NumPerm)
+    val slots = packed.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (k <- 0 until NumPerm) {
+      val w = k / BBitMinHash.SlotsPerWord
+      val i = k % BBitMinHash.SlotsPerWord
+      assert(((slots("a")(w) >> (BBitMinHash.Bits * i)) & 0xfL) == java.lang.Math.floorMod(a(k), 16L), s"slot $k")
+    }
+    import spark.implicits._
+    val got = BBitMinHash.estimatePairs(Seq(("a", "b")).toDF("a", "b"), packed, NumPerm)
+      .collect()(0).getLong(2)
+    val want = (0 until NumPerm).count(k =>
+      java.lang.Math.floorMod(a(k), 16L) == java.lang.Math.floorMod(b(k), 16L)).toLong
+    assert(got == want)
+  }
+
   test("collision-corrected estimator tracks true Jaccard on real signatures") {
     val (pa, pb) = MinHashSig.permutations(NumPerm)
     def sign(items: Seq[Long]) = MinHashSig.signature(items.toArray, pa, pb)

@@ -48,12 +48,13 @@ class DsirSpec extends AnyFunSuite {
       cs.values.flatMap(_.toSeq).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
     val s = tot(counts(src)); val t = tot(counts(tgt))
     val sTot = s.values.sum; val tTot = t.values.sum
-    s.map { case (b, sc) =>
+    (s.keySet ++ t.keySet).map { b =>
+      val sc = s.getOrElse(b, 0L)
       val tc = t.getOrElse(b, 0L)
       b -> (sc, tc,
         (1000000L * (sc + 1)) / (sTot + B),
         (1000000L * (tc + 1)) / (tTot + B))
-    }
+    }.toMap
   }
 
   private def refWeights(src: Seq[(Long, String)], tgt: Seq[(Long, String)])
@@ -150,6 +151,25 @@ class DsirSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == want)
     assert(got(91L)._2 == refWeights(corpus, target)(1L)._2)
+  }
+
+  test("external target: source-unseen target buckets keep their rows and their t_tot mass") {
+    // the paper's actual setup (external target corpus, e.g. Wikipedia
+    // target vs crawl source): bigrams the source never produced must
+    // still count toward t_tot and appear as (src_cnt = 0) rows, or
+    // p_ppm silently misnormalizes (round-4 ADVICE item 2)
+    val src = Seq(1L -> "click here buy now", 2L -> "free offer limited deal")
+    val ext = Seq(50L -> "the quick brown fox", 51L -> "click here buy now")
+    val gotFit = Dsir.fitDists(df(src: _*), df(ext: _*), "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val wantFit = refFit(src, ext).map { case (b, (sc, tc, q, p)) => b -> ((sc, tc, q, p)) }
+    assert(gotFit == wantFit)
+    assert(gotFit.exists { case (_, (sc, tc, _, _)) => sc == 0L && tc > 0L },
+      "the external-target-only buckets must materialize as src_cnt = 0 rows")
+    // t_tot covers ALL target occurrences: back it out of any row's p_ppm
+    val tTot = counts(ext).values.flatMap(_.values).sum
+    val (_, (_, tc0, _, p0)) = gotFit.find(_._2._2 > 0L).get
+    assert(p0 == (1000000L * (tc0 + 1)) / (tTot + B))
   }
 
   test("priority sample is the deterministic w/u top-k; subset-stable in k") {
