@@ -411,6 +411,43 @@ object SparkEntry {
     (paramsDir, cvDir)
   }
 
+  /** Persisted calibrated-arbiter verdicts with FITTED whitening params
+    * (G13): same pipeline inputs and calibration params as
+    * [[calibVerdictDirs]] (read back from 09_calib_params so both
+    * artifacts share one fit), plus a driver-side whitening fit over the
+    * calibration doc sample — the `embed_whiten` escalation step becomes
+    * a real rescore, and every gray pair persists its whitened cosine
+    * (`emb_cos_w`) so the oracle can identity-read it like `emb_raw` and
+    * recompute all step-3 decisions.
+    */
+  def whitenVerdictDirs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val rd = pipelineRunDir(s, dir)
+    val (paramsDir, _) = calibVerdictDirs(s, dir)
+    val wvDir = s"$rd/09_wcalverdicts"
+    val ch = DedupConfig.balanced.configHash
+    def done(p: String) = new java.io.File(s"$p/_SUCCESS").exists() &&
+      new java.io.File(s"$p/_graft_conf_$ch").exists()
+    if (!done(wvDir)) {
+      val norm = s.read.parquet(s"$rd/01_norm").as[DocNorm]
+      val sigs = s.read.parquet(s"$rd/03_sig").as[DocSig]
+      val cands = s.read.parquet(s"$rd/05_cand").as[CandPair]
+      val byName = s.read.parquet(paramsDir).collect().map(r =>
+        r.getString(0) -> graft.calib.Calibration.Params(r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getSeq[Double](4).toArray, r.getSeq[Double](5).toArray,
+          r.getDouble(6), 0.0)).toMap
+      val wp = graft.plans.Bootstrap.fitWhitenParams(s, norm, DedupConfig.balanced,
+        maxPos = 5000, maxNeg = 5000)
+      val params = graft.plans.CalibratedDedup.LearnerParams(
+        byName("simhash"), byName("minhash"), byName("embedding"), Some(wp))
+      graft.plans.CalibratedDedup.verify(s, cands, sigs, norm, DedupConfig.balanced, params)
+        .toDF().coalesce(1).write.mode("overwrite").parquet(wvDir)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$wvDir/_graft_conf_$ch"), ch)
+    }
+    wvDir
+  }
+
   /** Rep-doc norm rows of the shared pipeline run — the exact relation the
     * signature stage signed (01_norm restricted to exact-group reps).
     */
@@ -1792,6 +1829,24 @@ object SparkEntry {
           concat_ws(",", col("escalation_steps")).as("steps"))
         .orderBy("pair_key")
     }),
+    "q_whiten_verdicts" -> ((s, dir) => {
+      // G13 embed_whiten as a REAL rescore: calibrated arbiter with a
+      // fitted whitening model (mean + top-PC removal over the
+      // calibration doc sample). The DuckDB oracle recomputes the apply
+      // step + the full three-stage decision chain — base votes, k=2
+      // escalation, then the step-3 WHITENED embedding rescore — from
+      // the persisted raw scores and fitted params; identity-read
+      // columns are the raw score hash chains only (emb_raw, emb_cos_w).
+      whitenVerdictDirs(s, dir) // ensure artifact
+      val (_, _) = calibVerdictDirs(s, dir)
+      s.read.parquet(s"${pipelineRunDir(s, dir)}/09_wcalverdicts")
+        .select(col("pair_key"), col("exact"), col("sim_raw"), col("min_raw"),
+          col("emb_raw"), col("min_raw_k2"), col("emb_cos_w"),
+          col("sim_prob"), col("min_prob"), col("emb_prob"),
+          col("final_label"), col("dup_kind"), col("reason"),
+          concat_ws(",", col("escalation_steps")).as("steps"))
+        .orderBy("pair_key")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -2448,6 +2503,72 @@ object SparkEntry {
       "FROM d ORDER BY pair_key"
   }
 
+  /** DuckDB recompute of the WHITENED calibrated arbiter (q_whiten_verdicts):
+    * the calibVerdictsOracle decision chain extended with the real step-3
+    * rescore — the embedding learner re-scored from the persisted whitened
+    * cosine (emb_cos_w, identity-read hash chain like emb_raw) through the
+    * same calibration params, with its own vote/below tests. Step-2 exits
+    * keep the BASE embedding vote (whitening applies only at step 3 —
+    * arbiter.py:601-619 escalation order).
+    */
+  private def whitenVerdictsOracle(dir: String): String = {
+    val simP = applyCalSql("sim_raw", "ps")
+    val minP = applyCalSql("min_raw", "pm")
+    val embP = applyCalSql("emb_raw", "pe")
+    val minP2 = applyCalSql("min_raw_k2", "pm")
+    val embP3 = applyCalSql("((emb_cos_w + 1.0::DOUBLE) / 2.0::DOUBLE)", "pe")
+    s"WITH cv AS (SELECT * FROM read_parquet('${runDirFor(dir)}/09_wcalverdicts/*.parquet')), " +
+      s"prm AS (SELECT * FROM read_parquet('${runDirFor(dir)}/09_calib_params/*.parquet')), " +
+      "wide AS (SELECT cv.pair_key, cv.exact, cv.sim_raw, cv.min_raw, cv.emb_raw, cv.min_raw_k2, cv.emb_cos_w, " +
+      "ps.method AS ps_method, ps.a AS ps_a, ps.b AS ps_b, ps.edges AS ps_edges, ps.probs AS ps_probs, ps.threshold AS ps_thr, " +
+      "pm.method AS pm_method, pm.a AS pm_a, pm.b AS pm_b, pm.edges AS pm_edges, pm.probs AS pm_probs, pm.threshold AS pm_thr, " +
+      "pe.method AS pe_method, pe.a AS pe_a, pe.b AS pe_b, pe.edges AS pe_edges, pe.probs AS pe_probs, pe.threshold AS pe_thr " +
+      "FROM cv, prm ps, prm pm, prm pe " +
+      "WHERE ps.learner = 'simhash' AND pm.learner = 'minhash' AND pe.learner = 'embedding'), " +
+      "pr AS (SELECT pair_key, exact, sim_raw, min_raw, emb_raw, min_raw_k2, emb_cos_w, ps_thr, pm_thr, pe_thr, " +
+      s"$simP AS sim_p, $minP AS min_p, " +
+      s"CASE WHEN exact THEN NULL ELSE $embP END AS emb_p, " +
+      s"CASE WHEN min_raw_k2 IS NOT NULL THEN $minP2 ELSE NULL END AS min_p2, " +
+      s"CASE WHEN emb_cos_w IS NOT NULL THEN $embP3 ELSE NULL END AS emb_p3, " +
+      "CASE WHEN exact THEN NULL ELSE (emb_raw * 2.0::DOUBLE) - 1.0::DOUBLE END AS cos " +
+      "FROM wide), " +
+      "d AS (SELECT *, " +
+      "(CASE WHEN sim_p >= ps_thr THEN 1 ELSE 0 END) + (CASE WHEN min_p >= pm_thr THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN cos >= 0.988::DOUBLE OR emb_p >= pe_thr THEN 1 ELSE 0 END) AS v0, " +
+      "(sim_p < ps_thr - 0.05::DOUBLE AND min_p < pm_thr - 0.05::DOUBLE AND emb_p < pe_thr - 0.05::DOUBLE) AS below0, " +
+      "(abs(sim_p - ps_thr) <= 0.05::DOUBLE AND abs(min_p - pm_thr) <= 0.05::DOUBLE AND abs(emb_p - pe_thr) <= 0.05::DOUBLE) AS gray0, " +
+      "(CASE WHEN sim_p >= ps_thr THEN 1 ELSE 0 END) + (CASE WHEN min_p2 >= pm_thr THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN cos >= 0.988::DOUBLE OR emb_p >= pe_thr THEN 1 ELSE 0 END) AS v2, " +
+      "(sim_p < ps_thr - 0.05::DOUBLE AND min_p2 < pm_thr - 0.05::DOUBLE AND emb_p < pe_thr - 0.05::DOUBLE) AS below2, " +
+      // step-3: embedding vote from the whitened cosine (backstop on the
+      // whitened cosine itself, prob from the same emb calibration)
+      "(CASE WHEN sim_p >= ps_thr THEN 1 ELSE 0 END) + (CASE WHEN min_p2 >= pm_thr THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN emb_cos_w >= 0.988::DOUBLE OR emb_p3 >= pe_thr THEN 1 ELSE 0 END) AS v3, " +
+      "(sim_p < ps_thr - 0.05::DOUBLE AND min_p2 < pm_thr - 0.05::DOUBLE AND emb_p3 < pe_thr - 0.05::DOUBLE) AS below3 " +
+      "FROM pr) " +
+      "SELECT pair_key, exact, sim_raw, min_raw, emb_raw, min_raw_k2, emb_cos_w, " +
+      "CASE WHEN exact THEN 1.0::DOUBLE ELSE sim_p END AS sim_prob, " +
+      "CASE WHEN exact THEN 1.0::DOUBLE WHEN v0 >= 2 THEN min_p WHEN below0 THEN min_p " +
+      "WHEN NOT gray0 THEN min_p ELSE min_p2 END AS min_prob, " +
+      "CASE WHEN exact THEN 1.0::DOUBLE WHEN v0 >= 2 OR below0 OR NOT gray0 THEN emb_p " +
+      "WHEN v2 >= 2 OR below2 THEN emb_p ELSE COALESCE(emb_p3, emb_p) END AS emb_prob, " +
+      "CASE WHEN exact THEN 'DUPLICATE' WHEN v0 >= 2 THEN 'DUPLICATE' WHEN below0 THEN 'NON_DUPLICATE' " +
+      "WHEN NOT gray0 THEN 'NON_DUPLICATE' WHEN v2 >= 2 THEN 'DUPLICATE' WHEN below2 THEN 'NON_DUPLICATE' " +
+      "WHEN v3 >= 2 THEN 'DUPLICATE' WHEN below3 THEN 'NON_DUPLICATE' " +
+      "ELSE 'UNCERTAIN' END AS final_label, " +
+      "CASE WHEN exact THEN 'EXACT' WHEN v0 >= 2 THEN 'NEAR' WHEN below0 OR NOT gray0 THEN NULL " +
+      "WHEN v2 >= 2 THEN 'NEAR' WHEN below2 THEN NULL WHEN v3 >= 2 THEN 'NEAR' ELSE NULL END AS dup_kind, " +
+      "CASE WHEN exact THEN 'exact_content_match' WHEN v0 >= 2 THEN 'duplicate_by_consensus' " +
+      "WHEN below0 THEN 'below_thresholds' WHEN NOT gray0 THEN 'confident_non_duplicate' " +
+      "WHEN v2 >= 2 THEN 'consensus_after_escalation' WHEN below2 THEN 'below_thresholds_after_escalation' " +
+      "WHEN v3 >= 2 THEN 'consensus_after_escalation' WHEN below3 THEN 'below_thresholds_after_escalation' " +
+      "ELSE 'uncertain_in_gray_zone' END AS reason, " +
+      "CASE WHEN exact OR v0 >= 2 OR below0 OR NOT gray0 THEN '' " +
+      "WHEN v2 >= 2 OR below2 THEN 'normalize_strict,minhash_alt_shingle' " +
+      "ELSE 'normalize_strict,minhash_alt_shingle,embed_whiten' END AS steps " +
+      "FROM d ORDER BY pair_key"
+  }
+
   /** Pipeline-oracle constants DERIVED from the config the pipeline
     * queries actually run (DedupConfig.balanced): a config change now
     * changes the oracle SQL with it — or trips the requires below — instead
@@ -2846,6 +2967,7 @@ object SparkEntry {
         "(x, y) -> x + y) ASC, c.list_id ASC) AS rn " +
         "FROM embeddings e CROSS JOIN cent c) WHERE rn = 1 ORDER BY vec_id"),
     "q_calibrated_verdicts" -> calibVerdictsOracle(dir),
+    "q_whiten_verdicts" -> whitenVerdictsOracle(dir),
     // Deterministic sampling: DuckDB recomputes the md5-derived uniform
     // (first 15 hex chars as a 60-bit int over 2^60 — bit-identical to
     // Spark's conv(substring(md5(..),1,15),16,10)/2^60) and re-decides

@@ -30,11 +30,16 @@ object Bootstrap {
     * are resolved through the exact-group rep, which is exact because group
     * members share the rep's normalized text byte-for-byte.
     */
-  def calibrateWithParams(spark: SparkSession, norm: Dataset[DocNorm], sigs: Dataset[DocSig],
-                          conf: DedupConfig, maxPos: Int = 50000, maxNeg: Int = 50000,
-                          targetPrecision: Double = 0.98): Seq[(LearnerCalibration, Calibration.Params)] = {
+  /** The bounded labeled calibration pair set (and the exact-hash groups
+    * relation it derives from) — shared by the calibration fit and the
+    * whitening fit, which embeds the same unique-doc sample
+    * (fit_calibration embeds each unique doc of its pair set once,
+    * embed_model.py:413-425).
+    */
+  def calibPairs(norm: Dataset[DocNorm], conf: DedupConfig, maxPos: Int, maxNeg: Int)
+  : (DataFrame, DataFrame) = {
+    val spark = norm.sparkSession
     import spark.implicits._
-
     val groups = norm.groupBy($"exact_hash")
       .agg(min($"url").as("rep"), count(lit(1)).as("n"))
 
@@ -54,7 +59,28 @@ object Bootstrap {
       .select($"rep".as("a"), $"rep2".as("b"), lit(0).as("label"))
       .orderBy($"a", $"b").limit(maxNeg)
 
-    val pairs = posPairs.unionByName(negPairs)
+    (posPairs.unionByName(negPairs), groups)
+  }
+
+  /** Whitening fit (G13) over the SAME bounded sample the calibration fit
+    * embeds: the distinct docs of the calibration pairs. Driver-side by
+    * contract (≤ 2·(maxPos+maxNeg) urls).
+    */
+  def fitWhitenParams(spark: SparkSession, norm: Dataset[DocNorm], conf: DedupConfig,
+                      maxPos: Int = 50000, maxNeg: Int = 50000): graft.sig.CheapEmbed.WhitenParams = {
+    import spark.implicits._
+    val (pairs, _) = calibPairs(norm, conf, maxPos, maxNeg)
+    val urls = pairs.select(explode(array($"a", $"b")).as("url"))
+      .distinct().as[String].collect().toSeq
+    CalibratedDedup.fitWhitenFromDocs(spark, norm, urls, conf)
+  }
+
+  def calibrateWithParams(spark: SparkSession, norm: Dataset[DocNorm], sigs: Dataset[DocSig],
+                          conf: DedupConfig, maxPos: Int = 50000, maxNeg: Int = 50000,
+                          targetPrecision: Double = 0.98): Seq[(LearnerCalibration, Calibration.Params)] = {
+    import spark.implicits._
+
+    val (pairs, groups) = calibPairs(norm, conf, maxPos, maxNeg)
 
     // url -> rep resolution so rep-level signatures serve member urls
     val urlRep = norm.select($"url".as("m_url"), $"exact_hash".as("m_eh"))

@@ -27,13 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object CalibratedDedup {
 
+  /** `whiten` = fitted domain-whitening params (G13). None = the
+    * reference's DEFAULT state (params never fitted, `_apply_whiten`
+    * falls through — embed_model.py:550-566) and the golden-parity
+    * surface; Some = the `embed_whiten` escalation step becomes a REAL
+    * rescore, exactly what the reference does when persisted
+    * domain_mean/domain_top_pc exist (load_state, embed_model.py:169-172).
+    */
   final case class LearnerParams(sim: Calibration.Params, min: Calibration.Params,
-                                 emb: Calibration.Params)
+                                 emb: Calibration.Params,
+                                 whiten: Option[CheapEmbed.WhitenParams] = None)
 
+  /** `emb_cos_w` = the whitened cosine, persisted for every gray-zone
+    * pair when whitening params exist (None otherwise) so the decision
+    * oracle can identity-read it like `emb_raw`'s chain and recompute
+    * every step-3 decision derived from it.
+    */
   final case class CalVerdict(a: String, b: String, pair_key: String, exact: Boolean,
                               sim_raw: Double, min_raw: Double, emb_raw: Option[Double],
                               sim_prob: Double, min_prob: Double, emb_prob: Option[Double],
-                              min_raw_k2: Option[Double],
+                              min_raw_k2: Option[Double], emb_cos_w: Option[Double],
                               final_label: String, dup_kind: Option[String], reason: String,
                               escalation_steps: Seq[String])
 
@@ -84,11 +97,17 @@ object CalibratedDedup {
   }
 
   /** Pure decision given all scores (mirrors score_pair step order).
-    * `minRawK2` is consulted only when the pair lands in the gray zone.
+    * `minRawK2` is consulted only when the pair lands in the gray zone;
+    * `cosWhiten` (the whitened cosine — Some iff whitening params exist)
+    * only at escalation step 3, where `embed_whiten` re-scores the
+    * embedding learner (arbiter.py:640-642 sets whiten+remove_top_pc and
+    * `_score_all` re-runs; with no fitted params the rescore falls
+    * through to the base cosine, which None models).
     */
   def decide(conf: DedupConfig, p: LearnerParams,
              exact: Boolean, simRaw: Double, minRaw: Double, embCos: => Double,
-             minRawK2: => Double): (String, Option[String], String, Seq[String],
+             minRawK2: => Double, cosWhiten: => Option[Double] = None)
+  : (String, Option[String], String, Seq[String],
     Double, Double, Option[Double], Option[Double]) = {
     if (exact)
       return ("DUPLICATE", Some("EXACT"), "exact_content_match", Nil, 1.0, 1.0, Some(1.0), None)
@@ -115,7 +134,8 @@ object CalibratedDedup {
 
     // escalation: step 1 re-scores identically (pre-normalized docs), so it
     // can never flip the verdict; step 2 switches MinHash to k=2; step 3
-    // re-scores identically to step 2.
+    // re-scores the embedding with whitening applied — identical to step 2
+    // unless whitening params exist (cosWhiten = Some).
     val k2 = minRawK2
     val minProb2 = clamp(Calibration.applyParams(k2, p.min))
     val steps2 = Seq("normalize_strict", "minhash_alt_shingle")
@@ -126,17 +146,31 @@ object CalibratedDedup {
     if (allClearlyBelow(minProb2))
       return ("NON_DUPLICATE", None, "below_thresholds_after_escalation", steps2,
         simProb, minProb2, Some(embProb), Some(k2))
-    // loop runs to completion; final outputs are the step-3 rescore (same
-    // as step 2), so the post-loop checks repeat on minProb2
-    if (votes(minProb2) >= need)
+    // step-3 rescore: embedding learner under whiten+remove_top_pc; the
+    // in-loop exit checks after step 3 and the post-loop final checks
+    // produce the same labels (arbiter.py:601-619), so one chain suffices
+    val cwOpt = cosWhiten
+    val cosEff = cwOpt.getOrElse(embCos)
+    val embProb3 = cwOpt.map(cw => clamp(Calibration.applyParams(CheapEmbed.cosToUnit(cw), p.emb)))
+      .getOrElse(embProb)
+    val votes3 = {
+      var v = 0
+      if (simProb >= p.sim.threshold) v += 1
+      if (minProb2 >= p.min.threshold) v += 1
+      if (cosEff >= conf.thrEmbedCosine || embProb3 >= p.emb.threshold) v += 1
+      v
+    }
+    val below3 = simProb < p.sim.threshold - 0.05 && minProb2 < p.min.threshold - 0.05 &&
+      embProb3 < p.emb.threshold - 0.05
+    if (votes3 >= need)
       ("DUPLICATE", Some("NEAR"), "consensus_after_escalation", steps3,
-        simProb, minProb2, Some(embProb), Some(k2))
-    else if (allClearlyBelow(minProb2))
+        simProb, minProb2, Some(embProb3), Some(k2))
+    else if (below3)
       ("NON_DUPLICATE", None, "below_thresholds_after_escalation", steps3,
-        simProb, minProb2, Some(embProb), Some(k2))
+        simProb, minProb2, Some(embProb3), Some(k2))
     else
       ("UNCERTAIN", None, "uncertain_in_gray_zone", steps3,
-        simProb, minProb2, Some(embProb), Some(k2))
+        simProb, minProb2, Some(embProb3), Some(k2))
   }
 
   /** k=2 shingle hash set of a doc's normalized text (escalation variant). */
@@ -207,9 +241,11 @@ object CalibratedDedup {
       .toDF("a", "b", "exact", "sim_raw", "min_raw", "cos")
       .localCheckpoint()
 
-    // phase 2: k=2 rescore for the gray-zone subset only
+    // phase 2: k=2 rescore — plus the whitened embedding rescore when
+    // whitening params exist — for the gray-zone subset only
     val na = norm.select($"url".as("na_url"), $"norm_text".as("a_text"))
     val nb = norm.select($"url".as("nb_url"), $"norm_text".as("b_text"))
+    val whitenBc = p.whiten.map(spark.sparkContext.broadcast(_))
     val k2Tbl = scored
       .as[(String, String, Boolean, Double, Double, Double)]
       .filter(r => !r._3 && needsEscalation(c, p, r._4, r._5, r._6))
@@ -225,24 +261,54 @@ object CalibratedDedup {
           if (s == null) { s = k2Shingles(t, c); k2Cache.put(u, s) }
           s
         }
-        it.map { case (ga, gb, at, bt) =>
-          (ga, gb, MinHashSig.jaccardSorted(k2Of(ga, at), k2Of(gb, bt)))
+        val wp = whitenBc.map(_.value)
+        val wCache = new java.util.HashMap[String, Array[Float]]()
+        def whiteOf(u: String, t: String) = {
+          var v = wCache.get(u)
+          if (v == null) {
+            v = CheapEmbed.applyWhiten(CheapEmbed.embed(t, dim), wp.get)
+            wCache.put(u, v)
+          }
+          v
         }
-      }.toDF("ka", "kb", "k2")
+        it.map { case (ga, gb, at, bt) =>
+          (ga, gb, MinHashSig.jaccardSorted(k2Of(ga, at), k2Of(gb, bt)),
+            wp.map(_ => CheapEmbed.cosine(whiteOf(ga, at), whiteOf(gb, bt))))
+        }
+      }.toDF("ka", "kb", "k2", "cosw")
 
-    // final: decide() over raw scores; the by-name k2 argument is forced
-    // exactly for gray-zone pairs, which are exactly the rows k2Tbl holds
-    // (needsEscalation mirrors decide's pre-escalation exits)
+    // final: decide() over raw scores; the by-name k2/cosWhiten arguments
+    // are forced exactly for gray-zone pairs, which are exactly the rows
+    // k2Tbl holds (needsEscalation mirrors decide's pre-escalation exits)
     scored.join(k2Tbl, $"a" === $"ka" && $"b" === $"kb", "left")
-      .select($"a", $"b", $"exact", $"sim_raw", $"min_raw", $"cos", $"k2")
-      .as[(String, String, Boolean, Double, Double, Double, Option[Double])]
-      .map { case (a, b, exact, simRaw, minRaw, cos, k2Opt) =>
+      .select($"a", $"b", $"exact", $"sim_raw", $"min_raw", $"cos", $"k2", $"cosw")
+      .as[(String, String, Boolean, Double, Double, Double, Option[Double], Option[Double])]
+      .map { case (a, b, exact, simRaw, minRaw, cos, k2Opt, cosWOpt) =>
         val (label, kind, reason, steps, simProb, minProb, embProb, k2Raw) =
           decide(c, p, exact, simRaw, minRaw, cos,
-            k2Opt.getOrElse(sys.error(s"missing escalation rescore for $a||$b")))
+            k2Opt.getOrElse(sys.error(s"missing escalation rescore for $a||$b")),
+            cosWOpt)
         CalVerdict(a, b, pairKey(a, b), exact, simRaw, minRaw,
           if (exact) None else Some(CheapEmbed.cosToUnit(cos)),
-          simProb, minProb, embProb, k2Raw, label, kind, reason, steps)
+          simProb, minProb, embProb, k2Raw, cosWOpt, label, kind, reason, steps)
       }
+  }
+
+  /** Driver-side whitening fit over the bounded calibration sample: embed
+    * the exact doc set the calibration fit embeds (the unique docs of the
+    * bootstrap pairs — fit_calibration embeds each unique doc once,
+    * embed_model.py:413-425), deterministically ordered by url. The
+    * sample is bounded by the Bootstrap caps, so the collect is a driver
+    * contract, never a corpus read.
+    */
+  def fitWhitenFromDocs(spark: SparkSession, norm: Dataset[DocNorm],
+                        urls: Seq[String], conf: DedupConfig): CheapEmbed.WhitenParams = {
+    import spark.implicits._
+    val want = urls.distinct.sorted
+    val set = want.toSet
+    val vecs = norm.filter(d => set.contains(d.url))
+      .map(d => (d.url, CheapEmbed.embed(d.norm_text, conf.embedDim)))
+      .collect().sortBy(_._1).map(_._2)
+    CheapEmbed.fitWhiten(vecs.toIndexedSeq, conf.embedDim)
   }
 }
