@@ -1875,6 +1875,30 @@ object SparkEntry {
       Ann.assignToCentroids(s, embeddings(s, dir), s.read.parquet(cd))
         .orderBy("vec_id")
     }),
+    "q_agglo_clusters" -> ((s, dir) => {
+      // X4: the reference's sub-5000-doc agglomerative path (cli.py:190-224)
+      // — average-linkage UPGMA over cosine distances with the
+      // 75th-percentile auto threshold, DRIVER-SIDE by contract exactly
+      // like the reference (> 5000 docs is the reference's own KMeans
+      // fallback: q_kmeans / q_kmeans_assign). Rows-only like q_kmeans:
+      // an iterative merge loop no SQL engine recomputes; parity is the
+      // reference-mirror golden fixture in AggloParitySpec. Labels are
+      // smallest-member-normalized so the output is engine-deterministic.
+      // Vectors are the reference's own `_cheap_embed` fallback over the
+      // document texts (the path cli.py actually clusters), not the
+      // synthetic embeddings table, whose isotropic vectors degenerate to
+      // one blob under a cosine percentile threshold.
+      import s.implicits._
+      val rows = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect() // bounded: guard below
+      require(rows.length <= graft.cc.Agglomerative.MaxDocs,
+        s"q_agglo_clusters is the <=5000-doc reference path; got ${rows.length}")
+      val ids = rows.map(_._1)
+      val vecs = rows.map(r =>
+        graft.sig.CheapEmbed.embed(graft.norm.TextNorm.normalize(r._2))).toIndexedSeq
+      val (_, labels) = graft.cc.Agglomerative.clusterAuto(vecs)
+      ids.zip(labels).toSeq.toDF("doc_id", "cluster").orderBy("doc_id")
+    }),
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup —
       // assign to the persisted km8 centroids, within-cluster cosine >=
