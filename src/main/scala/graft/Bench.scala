@@ -41,9 +41,14 @@ object Bench {
   //    synthetic data. q_ngram_jaccard_lsh is the timed representative of
   //    the LSH-jaccard family: word 3-gram shingle sets discriminate, so
   //    the bench measures the blocked join, not a degenerate corpus.
+  //  - q_ann_topk: a deliberate brute-force crossJoin (the ANN correctness
+  //    oracle). The timed ANN representative is q_ann_ivf_topk — the
+  //    coarse-quantized plan a 100-TB deployment would run (broadcast
+  //    centroids, probed lists only) — mirroring the round-2
+  //    quadratic-jaccard precedent of timing the scale twin.
   val benchNames: Seq[String] = Seq(
     "q_dedup_clusters", "q_token_count", "q_top_tokens", "q_exact_dup_groups",
-    "q_quality_counts", "q_ngram_jaccard_lsh", "q_ann_topk", "q_normalize",
+    "q_quality_counts", "q_ngram_jaccard_lsh", "q_ann_ivf_topk", "q_normalize",
     "q_minhash_signatures", "q_lang_id", "q_fingerprint")
 
   def timeQuery(spark: SparkSession, name: String, sfDir: String): Double = {
@@ -200,6 +205,13 @@ object ScalingBench {
     // SPARK_GRAFT_TEMPLATE_TOKENS for the planted-template A/B
     sys.env.get("SPARK_GRAFT_BOILER_FRAC")
       .foreach(v => base = base.copy(boilerplateMaxDfFrac = Some(v.toDouble)))
+    // SPARK_GRAFT_SIGNER=oph swaps the signature stage to one-permutation
+    // hashing (sig/Oph) — the signing-CPU lever for the default-config
+    // decision measured in BENCH/BASELINE.md (classic vs OPH vs OPH+bbit)
+    sys.env.get("SPARK_GRAFT_SIGNER").foreach(v => base = base.copy(signerOph = v == "oph"))
+    // SPARK_GRAFT_BBIT=1 turns on the b-bit packed-signature verify
+    // prefilter (DedupConfig.bbitPrefilter Scaladoc)
+    if (sys.env.get("SPARK_GRAFT_BBIT").contains("1")) base = base.copy(bbitPrefilter = true)
     base
   }
 

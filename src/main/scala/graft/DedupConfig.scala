@@ -145,7 +145,10 @@ final case class DedupConfig(
     // reliable checkpoint() against spark.sparkContext.getCheckpointDir
     // (must be set — HDFS/object store in production). Default false: in
     // local/sandbox mode executor==driver, and localCheckpoint avoids the
-    // per-round filesystem round-trip.
+    // per-round filesystem round-trip. Survival under a real executor
+    // SIGKILL mid-verify is TESTED, not asserted: tools/ChaosCheck +
+    // ExecutorLossSpec (2-executor local-cluster, kill fired when the
+    // first durable checkpoint lands, clusters asserted identical).
     reliableCheckpoints: Boolean = false,
     // ---- misc ----
     seed: Long = 13L,                // base.py:146

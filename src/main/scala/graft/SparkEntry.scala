@@ -243,6 +243,23 @@ object SparkEntry {
     rd
   }
 
+  /** Separate full-pipeline run with the ONE-PERMUTATION-HASHING signer
+    * (DedupConfig.signerOph) — the alternative signature dataflow gets its
+    * own end-to-end driver-oracled cluster output (round-4 verdict #10)
+    * instead of only the OphSpec recall assertion. Shares nothing with the
+    * balanced run dir: the signer changes 03_sig minhash values and
+    * therefore every banding/candidate row downstream.
+    */
+  def ophRunDirFor(dir: String): String =
+    s"/tmp/graft_pipeoph_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def ophPipelineRunDir(s: SparkSession, dir: String): String = {
+    val rd = ophRunDirFor(dir)
+    val pages = PagesSource.fromDocuments(s, dir, variants = 2)
+    DedupPipeline.run(s, pages, rd, DedupConfig.balanced.copy(signerOph = true), resume = true)
+    rd
+  }
+
   /** Incremental-ingest run shared per sf dir: the base pipeline (variants
     * 0..2 pages) is the "existing corpus"; variants v3/v4 of the same
     * documents are the deterministic "new crawl batch" (near-dup or
@@ -1262,6 +1279,17 @@ object SparkEntry {
       s.read.parquet(s"${pipelineRunDir(s, dir)}/07_clusters")
         .orderBy("cluster_id", "url")
     }),
+    "q_dedup_clusters_oph" -> ((s, dir) => {
+      // Full pipeline under the OPH signer (ophPipelineRunDir Scaladoc).
+      // The DuckDB oracle recomputes the whole post-signature chain from
+      // this run's parquet: candidates from the band relation (guard +
+      // per-doc cap), verdict labels from the sig relation (exact Jaccard
+      // over shingles, 128-bit Hamming, votes), star edges from the reps
+      // map, and the cluster fixed point via a recursive CTE — so the
+      // alternative signature dataflow carries its own green row.
+      s.read.parquet(s"${ophPipelineRunDir(s, dir)}/07_clusters")
+        .orderBy("cluster_id", "url")
+    }),
     "q_ingest_near_dup" -> ((s, dir) => {
       // Incremental near-dup ingest (IncrementalDedup Scaladoc): new-batch
       // pages deduped against the persisted old corpus, touched components
@@ -1954,6 +1982,9 @@ object SparkEntry {
 
   private def incPq(dir: String, name: String) =
     s"read_parquet('${runDirFor(dir)}/$name/*.parquet')"
+
+  private def ophPq(dir: String, name: String) =
+    s"read_parquet('${ophRunDirFor(dir)}/$name/*.parquet')"
 
   /** DuckDB host-canonicalization mirror of UrlOps.hostOf over a URL
     * expression (lowercase, userinfo/port stripped, leading www. dropped) —
@@ -3301,6 +3332,48 @@ object SparkEntry {
         "UNION SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u), " +
         "comp AS (SELECT u, min(c) AS comp FROM reach GROUP BY u), " +
         s"assigned AS (SELECT r.url, COALESCE(cp.comp, r.rep) AS cluster_id FROM ${repsPq(dir)} r " +
+        "LEFT JOIN comp cp ON cp.u = r.rep), " +
+        "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id) " +
+        "SELECT a.url, a.cluster_id, s.cluster_size FROM assigned a " +
+        "JOIN sizes s ON s.cluster_id = a.cluster_id " +
+        "WHERE s.cluster_size >= 2 ORDER BY a.cluster_id, a.url"),
+    // OPH-signer pipeline recomputed end-to-end from ITS OWN run dir:
+    // candidates from the band relation (bucket guard + per-doc cap),
+    // verdict labels from the sig relation (exact Jaccard via shingle
+    // intersection, 128-bit Hamming; emb_cos identity-read like
+    // q_dedup_verdicts), star edges from 02_reps, then the same
+    // recursive-CTE min-label fixed point as q_dedup_clusters. The OPH
+    // minhash values themselves are a hash chain (golden/recall-verified
+    // in OphSpec); everything decided FROM them is recomputed here.
+    "q_dedup_clusters_oph" ->
+      (s"WITH RECURSIVE bands AS (SELECT band, bucket, url FROM ${ophPq(dir, "04_bands")}), " +
+        "ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket " +
+        s"HAVING count(*) >= 2 AND count(*) <= $oBucket), " +
+        "bx AS (SELECT b.band, b.bucket, b.url FROM bands b JOIN ok o ON b.band = o.band AND b.bucket = o.bucket), " +
+        "pairs AS (SELECT DISTINCT l.url AS a, r.url AS b FROM bx l JOIN bx r " +
+        "ON l.band = r.band AND l.bucket = r.bucket AND l.url < r.url), " +
+        s"cand AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn FROM pairs) WHERE rn <= $oCap), " +
+        s"sig AS (SELECT url, exact_hash, shingles, simhash_hi, simhash_lo FROM ${ophPq(dir, "03_sig")}), " +
+        "j AS (SELECT c.a, c.b, (x.exact_hash = y.exact_hash) AS exact, " +
+        "CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS i, " +
+        "CAST(len(x.shingles) + len(y.shingles) AS BIGINT) AS nab, " +
+        "CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) + bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INTEGER) AS hamming " +
+        "FROM cand c JOIN sig x ON x.url = c.a JOIN sig y ON y.url = c.b), " +
+        "sc AS (SELECT a, b, exact, " +
+        "CASE WHEN nab - i = 0 THEN 0.0::DOUBLE ELSE CAST(i AS DOUBLE) / CAST(nab - i AS DOUBLE) END AS jaccard, " +
+        s"greatest(0.0::DOUBLE, 1.0::DOUBLE - hamming / $oBits) AS sim_sim FROM j), " +
+        s"e AS (SELECT a, b, emb_cos FROM ${ophPq(dir, "06_verdicts")}), " +
+        "w AS (SELECT sc.a, sc.b, sc.exact, " +
+        s"(CASE WHEN sc.sim_sim >= $oThrSim THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN sc.jaccard >= $oThrMin THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN COALESCE(e.emb_cos >= $oThrEmb OR ((e.emb_cos + 1.0::DOUBLE) / 2.0::DOUBLE) >= $oThrEmb, false) THEN 1 ELSE 0 END) AS votes " +
+        "FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.b), " +
+        s"dup AS (SELECT a, b FROM w WHERE exact OR votes >= $oVotes), " +
+        "sym AS (SELECT a AS u, b AS v FROM dup UNION SELECT b, a FROM dup), " +
+        "reach(u, c) AS (SELECT u, u FROM (SELECT DISTINCT u FROM sym) " +
+        "UNION SELECT s.v, r.c FROM reach r JOIN sym s ON s.u = r.u), " +
+        "comp AS (SELECT u, min(c) AS comp FROM reach GROUP BY u), " +
+        s"assigned AS (SELECT r.url, COALESCE(cp.comp, r.rep) AS cluster_id FROM ${ophPq(dir, "02_reps")} r " +
         "LEFT JOIN comp cp ON cp.u = r.rep), " +
         "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id) " +
         "SELECT a.url, a.cluster_id, s.cluster_size FROM assigned a " +

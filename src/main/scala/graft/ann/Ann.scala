@@ -134,19 +134,7 @@ object Ann {
                centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val cent = centroids.select($"list_id".as[Int], $"centroid".as[Array[Double]]).collect()
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(cent)
-    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, v) =>
-        val lists = bc.value.map { case (i, c) =>
-          var d = 0.0; var j = 0
-          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
-          (i, d)
-        }.sortBy(_._2).take(nprobe).map(_._1)
-        lists.map(l => (qid, v, l))
-      }.toDF("query_id", "query_vec", "list_id")
+    val probed = probeLists(spark, centroids, queries, nprobe, idCol, vecCol)
     val corpusByList = assigned.join(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")), "nbr_id")
     val scored = probed.join(corpusByList, "list_id")
@@ -156,6 +144,31 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"nbr_id", $"cosine", $"rank")
+  }
+
+  /** IVF probe selection — each query's `nprobe` nearest centroids by
+    * squared L2 (ties -> lowest list_id), centroids broadcast. Factored out
+    * of ivfApply so the recall/cost sweep (MediaAnnSpec) measures the
+    * probed corpus fraction from the exact code path the apply runs.
+    * Returns (query_id, query_vec, list_id).
+    */
+  def probeLists(spark: SparkSession, centroids: DataFrame, queries: DataFrame,
+                 nprobe: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cent = centroids.select($"list_id".as[Int], $"centroid".as[Array[Double]]).collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cent)
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        val lists = bc.value.map { case (i, c) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+          (i, d)
+        }.sortBy(_._2).take(nprobe).map(_._1)
+        lists.map(l => (qid, v, l))
+      }.toDF("query_id", "query_vec", "list_id")
   }
 
   /** Deterministic nearest-centroid assignment (the KMeans APPLY): naive

