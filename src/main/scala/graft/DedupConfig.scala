@@ -121,9 +121,16 @@ final case class DedupConfig(
     // estimates, and exact verification are signature-layout-agnostic, so
     // everything downstream runs unchanged; candidate RECALL is the only
     // axis that can move (verification stays exact), asserted >= 0.99 of
-    // the classic signer's duplicate pairs in OphSpec. OFF by default:
-    // reference golden parity (PipelineGoldenSpec) is pinned to the
-    // classic k-permutation signer.
+    // the classic signer's duplicate pairs in OphSpec. OFF by default —
+    // a deliberate round-5 decision (BENCH/BASELINE.md "Signer default
+    // A/B"): the graft's correctness anchor is golden parity with the
+    // reference's k-permutation signatures, and at the 450k bench corpus
+    // the signature stage is 3-5% of wall so the measured 2.10x stage win
+    // (SignBench) moves total wall ~1.5%. Measured at 450k pages: OPH
+    // yields the IDENTICAL 6,149 clusters (439,874 docs vs classic's
+    // 439,872) from 0.9% fewer candidate pairs, and has its own
+    // end-to-end driver oracle row (q_dedup_clusters_oph). Flip to true
+    // when signing dominates (short docs / high numPerm / cheap verify).
     signerOph: Boolean = false,
     // ---- verify-stage pair-scoring dataflow (scale knob) ----
     // The join dataflow's second pair join re-shuffles the stream side WITH
