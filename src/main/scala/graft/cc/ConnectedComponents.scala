@@ -46,10 +46,15 @@ object ConnectedComponents {
     val floor = math.max(2, math.min(par / 4, 16))
     val byEdges = math.min(nEdges / 65536L + 1L, Int.MaxValue.toLong).toInt // no Int wrap at 1e14+ edges
     val ccParts = math.max(floor, math.min(math.max(par * 4, 8), byEdges))
+    // Partitioned on v — the key every iteration's message join probes —
+    // so the static edge relation is exchanged ONCE here instead of once
+    // per round (guide §2.4 "two operations keyed the same way share one
+    // exchange"; localCheckpoint preserves the hash partitioning, so
+    // EnsureRequirements only exchanges the labels side each round).
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
       .distinct()
-      .repartition(ccParts, $"u")
+      .repartition(ccParts, $"v")
       .transform(ck)
 
     var labels = sym.select($"u".as("url")).distinct()
@@ -75,10 +80,22 @@ object ConnectedComponents {
           least(agg("comp"), coalesce($"ccomp", agg("comp"))).as("comp"),
           $"prev")
 
-      val next = ck(step2)
-      val changed = next.filter($"comp" =!= $"prev").limit(1).count()
+      // Convergence is counted WHILE the checkpoint job materializes
+      // (accumulator incremented by the same tasks that write the blocks)
+      // instead of by a separate filter+count job per round — one job per
+      // iteration, not two. Only zero-vs-nonzero is read, so a rare
+      // task retry inflating the count cannot change the decision: a
+      // retried task re-observes the same deterministic rows.
+      val changedAcc = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
+      // Row-encoded pass-through: vertex ids may be strings (pipeline
+      // urls) or numerics (SemDedup vec ids) — schema and values are
+      // preserved exactly, only the side-effect count is added.
+      val counted = step2.mapPartitions { it =>
+          it.map { r => if (r.get(1) != r.get(2)) changedAcc.add(1L); r }
+        }(org.apache.spark.sql.Encoders.row(step2.schema))
+      val next = ck(counted)
       labels = next.select($"url", $"comp")
-      converged = changed == 0
+      converged = changedAcc.value == 0L
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter iterations")

@@ -40,8 +40,23 @@ object BucketGuard {
     // for the count + filter consumers AND its blocks are reclaimed by the
     // ContextCleaner when the plan goes out of scope — persist would leak
     // one cached relation per guarded LSH pass for the session lifetime.
-    val sizes = rows.groupBy($"band", $"bucket").count().localCheckpoint()
-    val dropped = sizes.filter($"count" > maxBucketSize).count()
+    // The dropped-bucket count is accumulated by the SAME tasks that
+    // materialize the checkpoint (was a separate filter+count job over the
+    // checkpointed sizes — one job per guarded LSH pass saved). The rows
+    // are deterministic aggregation output, so a rare task retry
+    // re-observes identical rows; the count feeds a log line and the
+    // drop-metric property, and the planted-bucket specs see the exact
+    // value on the happy path.
+    val acc = spark.sparkContext.longAccumulator(s"graft.$tag.droppedBucketsAcc")
+    val sized = rows.groupBy($"band", $"bucket").count()
+    // Row-encoded pass-through (callers use int, long AND string bucket
+    // types — winnow fingerprints are strings): schema and values are
+    // preserved exactly, only the side-effect count is added.
+    val sizes = sized.mapPartitions { it =>
+        it.map { r => if (r.getLong(2) > maxBucketSize) acc.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(sized.schema))
+      .localCheckpoint()
+    val dropped = acc.value
     if (dropped > 0)
       System.err.println(
         s"[graft.$tag] dropped $dropped mega-buckets (> $maxBucketSize members)")

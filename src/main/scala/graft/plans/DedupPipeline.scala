@@ -134,15 +134,22 @@ object DedupPipeline {
     val dropped = g.dropped
     val left = bx.select($"band", $"bucket", $"url".as("a"))
     val right = bx.select($"band".as("band2"), $"bucket".as("bucket2"), $"url".as("b"))
-    val pairs = left.join(right,
+    val joined = left.join(right,
         $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
-      .select($"a", $"b").distinct()
-    // Per-doc candidate cap (near_duplicate.py:408): deterministic via
-    // ordered row_number, drops logged by the caller via count delta.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"a").orderBy($"b")
-    val capped = pairs.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= conf.maxCandidatesPerDoc)
       .select($"a", $"b")
+    // Dedup + per-doc candidate cap (near_duplicate.py:408) fused into ONE
+    // aggregation: collect_set dedups the cross-band repeats (partial
+    // map-side, so same-partition repeats never cross the exchange — guide
+    // §2.3 "aggregate before you shuffle"), sort_array + slice keeps each
+    // doc's first `cap` partners by partner url. Replaces the previous
+    // distinct (pair exchange) + row_number window (second pair exchange +
+    // per-doc sort): identical output set — sort_array uses the same
+    // binary UTF8String ordering as the window's ORDER BY b — for one
+    // exchange instead of two and no window operator. Per-group state is
+    // bounded by the bucket guard (<= bands x maxBucketSize partners).
+    val capped = joined.groupBy($"a")
+      .agg(slice(sort_array(collect_set($"b")), 1, conf.maxCandidatesPerDoc).as("bs"))
+      .select($"a", explode($"bs").as("b"))
     (domainCap(spark, capped, conf).as[CandPair], dropped)
   }
 
@@ -202,6 +209,12 @@ object DedupPipeline {
     */
   def repMap(spark: SparkSession, norm: Dataset[DocNorm]): DataFrame = {
     import spark.implicits._
+    // Shape note (r06 audit): groupBy + join-back deliberately, NOT a
+    // window min over exact_hash — the window would buffer each whole
+    // exact-group in one task (a mega exact-group of boilerplate-identical
+    // pages is exactly the skew the star-edge collapse exists for), while
+    // the groupBy partial-aggregates map-side and the join-back is
+    // AQE-skew-splittable.
     val roots = norm.groupBy($"exact_hash").agg(min($"url").as("rep"))
     norm.select($"url", $"exact_hash".as("eh"))
       .join(roots, $"eh" === $"exact_hash")
@@ -649,6 +662,15 @@ object DedupPipeline {
   /** Run (or resume) the full pipeline. Every stage persists to
     * `$runDir/<stage>` and is skipped on re-run when its output and config
     * marker are present — the north rule's checkpoint-based resume.
+    *
+    * Lineage snapshots are written CONCURRENTLY with the next stage's
+    * compute (guide §2.6 "overlap independent jobs"): the lineage job for
+    * stage N depends only on N's persisted parquet, so it back-fills
+    * executor slots freed by N+1's stragglers instead of serializing ~7
+    * extra jobs onto the critical path. All lineage futures are awaited
+    * (and their failures rethrown) before the metrics snapshot reads the
+    * lineage dirs, so the post-run state is identical to the sequential
+    * orchestration.
     */
   def run(spark: SparkSession, pages: Dataset[Page], runDir: String,
           conf: DedupConfig = DedupConfig.balanced,
@@ -656,17 +678,28 @@ object DedupPipeline {
     import spark.implicits._
     val ch = conf.configHash
     val runId = s"run_$ch"
+    val pendingLineage = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
 
     def stage[T](name: String)(compute: => DataFrame): DataFrame = {
       val dir = s"$runDir/$name"
       if (resume && stageDone(spark, dir, ch)) {
         spark.read.parquet(dir)
       } else {
+        // label every job this stage triggers (incl. eager checkpoints
+        // inside the stage computation) — guide §1.5
+        spark.sparkContext.setJobDescription(s"pipeline: $name")
         val t0 = System.nanoTime()
-        compute.write.mode(SaveMode.Overwrite).parquet(dir)
+        val written = try {
+          compute.write.mode(SaveMode.Overwrite).parquet(dir)
+          spark.read.parquet(dir)
+        } finally spark.sparkContext.setJobDescription(null)
         val ms = (System.nanoTime() - t0) / 1000000
-        val written = spark.read.parquet(dir)
-        writeLineage(spark, runDir, runId, name, ch, written, ms)
+        pendingLineage += lineagePool.submit(new Runnable {
+          def run(): Unit = {
+            spark.sparkContext.setJobDescription(s"pipeline: lineage $name")
+            writeLineage(spark, runDir, runId, name, ch, written, ms)
+          }
+        })
         markStage(spark, dir, ch)
         written
       }
@@ -709,7 +742,13 @@ object DedupPipeline {
     val embAcc = spark.sparkContext.longAccumulator("graft.verify.embNanos")
     val spanAcc = spark.sparkContext.longAccumulator("graft.verify.spanNanos")
     val verdictDf = stage("06_verdicts") {
-      verifyStage(spark, cands, sigs, repNorm, conf, Some(embAcc), Some(spanAcc)).toDF()
+      // full norm, not repNorm: verifyStage only joins `norm` by the pair
+      // urls, and every pair url is an exact-group rep, so the reps
+      // semi-join changes nothing about the result — dropping it removes
+      // a norm⋈reps join from each of the three per-text subtrees (emb
+      // doc join + both span text joins) and lets those probes read the
+      // persisted 01_norm parquet directly with column pruning.
+      verifyStage(spark, cands, sigs, normDf.as[DocNorm], conf, Some(embAcc), Some(spanAcc)).toDF()
     }
     // summed task time of the per-text learners — the evidence behind the
     // span/embedding budgets. Only set when the stage actually ran: a
@@ -725,9 +764,25 @@ object DedupPipeline {
       clusterStage(spark, verdictDf.as[Verdict], repsDf, conf)
     }
 
+    // lineage must be fully on disk (and any write failure surfaced, as the
+    // sequential orchestration would have) before the snapshot reads it
+    pendingLineage.foreach(_.get())
     writeMetricsSnapshot(spark, runDir, runId, ch, verdictDf, clusters)
     clusters
   }
+
+  /** Two daemon threads for the off-critical-path lineage writes: one per
+    * in-flight stage is plenty, and daemon threads never block JVM exit.
+    */
+  private lazy val lineagePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(2, new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-lineage-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 
   /** M11 — run-level metrics snapshot (metrics.py:212-281 shape) assembled
     * from the persisted stage outputs and written alongside them.
@@ -747,8 +802,30 @@ object DedupPipeline {
   private def writeMetricsSnapshotUnsafe(spark: SparkSession, runDir: String, runId: String,
                                          confHash: String, verdicts: DataFrame, clusters: DataFrame): Unit = {
     import spark.implicits._
-    val summary = graft.metrics.Metrics.runSummary(verdicts).first()
-    // one aggregation job for both cluster counts
+    // ONE aggregation job over the verdicts for both the run summary and
+    // the per-text learner pair counts (was two sequential jobs: a
+    // Metrics.runSummary pass plus a second emb/span pass over the same
+    // relation — guide §1.2 "don't compute things you throw away" applied
+    // to whole passes). Expressions are copied verbatim from
+    // Metrics.runSummary so the reported values are bit-identical.
+    val summaryF = lineagePool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.Row] {
+      def call(): org.apache.spark.sql.Row = {
+        spark.sparkContext.setJobDescription("pipeline: metrics summary")
+        verdicts.agg(
+        count(lit(1)).as("total_pairs"),
+        sum(when($"final_label" === "DUPLICATE", 1).otherwise(0)).as("duplicates"),
+        sum(when($"final_label" === "NON_DUPLICATE", 1).otherwise(0)).as("non_duplicates"),
+        sum(when($"final_label" === "UNCERTAIN", 1).otherwise(0)).as("uncertain"),
+        sum(when($"dup_kind" === "EXACT", 1).otherwise(0)).as("exact_dups"),
+        sum(when($"dup_kind" === "NEAR", 1).otherwise(0)).as("near_dups"),
+        (sum(when($"final_label" =!= "UNCERTAIN", 1).otherwise(0)) / count(lit(1)))
+          .as("consensus_rate"),
+        sum(when($"emb_cos".isNotNull, 1).otherwise(0)).as("e"),
+        sum(when($"shared_span_len" > 0, 1).otherwise(0)).as("s")).first()
+      }
+    })
+    // cluster counts run concurrently with the verdict aggregation (two
+    // independent tiny jobs — guide §2.6)
     val cRow = clusters.agg(
       countDistinct($"cluster_id").as("n"), count(lit(1)).as("docs")).first()
     val nClusters = cRow.getLong(0)
@@ -770,14 +847,9 @@ object DedupPipeline {
         .map(r => s"""{"stage":"${r.getString(0)}","wall_ms":${r.getLong(1)},"rows":${r.getLong(2)}}""")
         .mkString("[", ",", "]")
     val dropped = Option(spark.sparkContext.getLocalProperty("graft.droppedBuckets")).getOrElse("0")
-    // per-text learner evidence: pair counts from the persisted verdicts,
-    // summed task wall from the verify accumulators (0 when 06_verdicts was
-    // resumed — the stage didn't run, so there is no wall to report)
-    val hRow = verdicts.agg(
-      sum(when($"emb_cos".isNotNull, 1).otherwise(0)).as("e"),
-      sum(when($"shared_span_len" > 0, 1).otherwise(0)).as("s")).first()
-    val embPairs = hRow.getLong(0)
-    val spanPairs = hRow.getLong(1)
+    val summary = summaryF.get()
+    val embPairs = summary.getLong(7)
+    val spanPairs = summary.getLong(8)
     val embMs = Option(spark.sparkContext.getLocalProperty("graft.embWallMs")).getOrElse("0")
     val spanMs = Option(spark.sparkContext.getLocalProperty("graft.spanWallMs")).getOrElse("0")
     val json =

@@ -177,8 +177,10 @@ object Dsir {
     * Locale caveat: this mirror lowercases with Locale.ROOT; Spark's
     * `lower()` uses the JVM default locale for non-ASCII input, so on a
     * special-casing default locale (tr_TR 'I'/'İ') non-ASCII text can
-    * diverge from the batch apply. Pin the JVM default locale in
-    * production entrypoints (see StreamingDedup.dsirGateStream).
+    * diverge from the batch apply. The production entrypoints
+    * (tools/PipelineCli, tools/ChaosCheck) pin
+    * `Locale.setDefault(Locale.ROOT)` at main() start (see also
+    * StreamingDedup.dsirGateStream).
     */
   def weightPpmLocal(text: String, fit: Map[Long, (Long, Long)], buckets: Int,
                      scale: Long = 1000000L): Option[Long] = {

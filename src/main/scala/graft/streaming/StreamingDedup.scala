@@ -213,9 +213,11 @@ object StreamingDedup {
     * while Spark's `lower()` falls back to the JVM default locale for
     * non-ASCII input. On a JVM whose default locale has special casing
     * (e.g. tr_TR 'I'/'İ') a non-ASCII text can make stream membership
-    * diverge from the batch apply — pin the default locale (-Duser
-    * .language=en) in production entrypoints, as Verify/Bench here run
-    * under the sandbox's en default.
+    * diverge from the batch apply. The production entrypoints
+    * (tools/PipelineCli, tools/ChaosCheck) now pin
+    * `Locale.setDefault(Locale.ROOT)` at main() start, closing this;
+    * Verify/Bench run under the sandbox's en default, which has no
+    * special casing either.
     */
   def dsirGateStream(spark: SparkSession, pages: Dataset[Page],
                      fit: Map[Long, (Long, Long)], buckets: Int,

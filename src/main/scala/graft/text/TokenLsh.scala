@@ -36,11 +36,21 @@ object TokenLsh {
                    maxBucketSize: Long = 4096L): DataFrame = {
     import spark.implicits._
     val np = numPerm; val ps = permSeed; val hs0 = hashSeed
-    val sigs = items.mapPartitions { it =>
+    // The distinct'd token sets feed THREE consumers (the signature pass
+    // and both sides of the exact-Jaccard join); materialize them once —
+    // without this the whole upstream (source scan + tokenize/shingle
+    // expressions, the expensive part for n-gram callers) re-runs per
+    // consumer. localCheckpoint blocks are reclaimed by the
+    // ContextCleaner when the plan goes out of scope.
+    val t = items.toDF("tid", "toks")
+      .select($"tid", array_distinct($"toks").as("toks"))
+      .localCheckpoint()
+    val sigs = t.as[(Long, Seq[String])].mapPartitions { it =>
       val (as, bs) = MinHashSig.permutations(np, ps)
       it.map { case (id, toks) =>
-        val hs = toks.iterator.map(tk => XXH64.hashString(tk, hs0))
-          .toArray.distinct.sorted
+        // tokens are already distinct; MinHash's per-permutation min is
+        // insensitive to order and repeats, so no re-distinct/sort here
+        val hs = toks.iterator.map(tk => XXH64.hashString(tk, hs0)).toArray
         (id, MinHashSig.signature(hs, as, bs))
       }
     }
@@ -59,9 +69,11 @@ object TokenLsh {
     val pairs = l.join(rr, $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
       .select($"a", $"b").distinct()
 
-    val t = items.toDF("tid", "toks").select($"tid", array_distinct($"toks").as("toks"))
-    val ta = t.select($"tid".as("pa"), $"toks".as("ta"))
-    val tb = t.select($"tid".as("pb"), $"toks".as("tb"))
+    // SHUFFLE_HASH: sort-merge would sort the array-carrying doc relations;
+    // hash-join streams the narrow pairs side against a per-partition build
+    // of the doc slice instead (same rationale as the dedup verify joins)
+    val ta = t.select($"tid".as("pa"), $"toks".as("ta")).hint("SHUFFLE_HASH")
+    val tb = t.select($"tid".as("pb"), $"toks".as("tb")).hint("SHUFFLE_HASH")
     pairs.join(ta, $"a" === $"pa").join(tb, $"b" === $"pb")
       .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("double"))
       .withColumn("uni", (size($"ta") + size($"tb")).cast("double") - $"inter")

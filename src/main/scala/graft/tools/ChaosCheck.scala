@@ -51,6 +51,8 @@ object ChaosCheck {
   }
 
   def main(args: Array[String]): Unit = {
+    // same locale pin as PipelineCli (Dsir/Vocab/Winnow mirror caveat)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nFamilies = if (args.nonEmpty) args(0).toInt else 600
     val stamp = System.nanoTime()
 

@@ -71,7 +71,7 @@ object PipeProbe {
     Thread.sleep(500) // let listener drain
     println(f"== pages build: ${(tPages - t0) / 1e9}%.2f s; pipeline: ${(tEnd - tPages) / 1e9}%.2f s; rows=$n")
     done.sortBy(_._1).foreach { case (id, sec, d) =>
-      if (sec > 0.2) println(f"job $id%4d  $sec%7.2f s  $d")
+      println(f"job $id%4d  $sec%7.2f s  $d")
     }
     println(f"== sum of jobs > 0.2s: ${done.map(_._2).filter(_ > 0.2).sum}%.2f s; all jobs: ${done.map(_._2).sum}%.2f s (n=${done.size})")
     println("== stages (wall, sumTaskRun, sumGC, shufR/W MB, nTasks, name), wall > 0.2s:")

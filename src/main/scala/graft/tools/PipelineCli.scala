@@ -72,6 +72,11 @@ object PipelineCli {
   }
 
   def main(argv: Array[String]): Unit = {
+    // Pin the JVM default locale: the Dsir/Vocab/Winnow local mirrors
+    // lowercase with Locale.ROOT while Spark's `lower()` follows the JVM
+    // default — on a special-casing default locale (tr_TR 'I'/'İ') the
+    // stream-vs-batch parity documented in those Scaladocs would diverge.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val a = parse(argv.toIndexedSeq)
     // No .master() here: spark-submit supplies master/executors/memory.
     val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
