@@ -39,27 +39,40 @@ object ConnectedComponents {
     // cluster must still spread its join rounds (collapsing to 2 tasks at
     // 32 cores serialized CC and cost ~0.1 scaling efficiency — round-2
     // measurement), while a billion-edge corpus fans out to 4x the cluster
-    // parallelism. The single count() pass is cheap next to the O(log n)
-    // join rounds.
-    val nEdges = edges.count()
+    // parallelism. Sized from Catalyst's sizeInBytes estimate instead of a
+    // count() job (r06): only the PARTITION COUNT depends on it, results
+    // are partitioning-invariant (CCSpec asserts this), and the /64
+    // divisor deliberately over-estimates edge count so error lands on
+    // the more-partitions side; both the floor and the 4x-parallelism cap
+    // still bound it.
+    val estEdges = (edges.queryExecution.optimizedPlan.stats.sizeInBytes / 64)
+      .min(BigInt(Long.MaxValue)).toLong
     val par = spark.sparkContext.defaultParallelism
     val floor = math.max(2, math.min(par / 4, 16))
-    val byEdges = math.min(nEdges / 65536L + 1L, Int.MaxValue.toLong).toInt // no Int wrap at 1e14+ edges
+    val byEdges = math.min(estEdges / 65536L + 1L, Int.MaxValue.toLong).toInt // no Int wrap at 1e14+ edges
     val ccParts = math.max(floor, math.min(math.max(par * 4, 8), byEdges))
     // Partitioned on v — the key every iteration's message join probes —
     // so the static edge relation is exchanged ONCE here instead of once
     // per round (guide §2.4 "two operations keyed the same way share one
     // exchange"; localCheckpoint preserves the hash partitioning, so
     // EnsureRequirements only exchanges the labels side each round).
+    // No distinct() pass (r06): min-label propagation is unaffected by
+    // duplicate edges (the per-round min aggregation absorbs duplicate
+    // messages), and every in-repo caller feeds already-unique pair
+    // relations — a caller with a HEAVY multigraph should dedup first,
+    // since duplicates ride the per-round join instead of being dropped
+    // once here.
     val sym = edges.select($"a".as("u"), $"b".as("v"))
       .union(edges.select($"b".as("u"), $"a".as("v")))
-      .distinct()
       .repartition(ccParts, $"v")
       .transform(ck)
 
+    // Not checkpointed: iteration 1 references the initial labels twice
+    // (message join + self-message union), but both subtrees canonicalize
+    // identically so the distinct's exchange is planned once and reused;
+    // eager materialization here would only add a job.
     var labels = sym.select($"u".as("url")).distinct()
       .withColumn("comp", $"url")
-      .transform(ck)
 
     var converged = false
     var iter = 0
