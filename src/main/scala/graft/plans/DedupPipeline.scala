@@ -138,18 +138,45 @@ object DedupPipeline {
         $"band" === $"band2" && $"bucket" === $"bucket2" && $"a" < $"b")
       .select($"a", $"b")
     // Dedup + per-doc candidate cap (near_duplicate.py:408) fused into ONE
-    // aggregation: collect_set dedups the cross-band repeats (partial
-    // map-side, so same-partition repeats never cross the exchange — guide
-    // §2.3 "aggregate before you shuffle"), sort_array + slice keeps each
-    // doc's first `cap` partners by partner url. Replaces the previous
+    // exchange: hash-route the raw bucket pairs by doc `a`, sort each
+    // partition by (a, b), then stream: duplicates (the same pair emitted
+    // by several bands) are adjacent and skipped, and each doc keeps its
+    // first `cap` partners by partner url. Replaces the previous
     // distinct (pair exchange) + row_number window (second pair exchange +
-    // per-doc sort): identical output set — sort_array uses the same
-    // binary UTF8String ordering as the window's ORDER BY b — for one
-    // exchange instead of two and no window operator. Per-group state is
-    // bounded by the bucket guard (<= bands x maxBucketSize partners).
-    val capped = joined.groupBy($"a")
-      .agg(slice(sort_array(collect_set($"b")), 1, conf.maxCandidatesPerDoc).as("bs"))
-      .select($"a", explode($"bs").as("b"))
+    // per-doc sort): identical output set — the partition sort uses the
+    // same binary UTF8String ordering as the window's ORDER BY b — for
+    // one exchange instead of two and no window operator. The streaming
+    // pass holds O(1) state per row (previous partner + kept counter) and
+    // the sort spills gracefully; a collect_set fusion was tried first
+    // and rejected — its per-group array state trips ObjectHashAggregate's
+    // sort-based fallback at real pair volumes (measured +21% on 05_cand
+    // at the 450k scaling corpus).
+    val cap = conf.maxCandidatesPerDoc
+    val capped = joined
+      .repartition($"a")
+      .sortWithinPartitions($"a", $"b")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        new Iterator[(String, String)] {
+          private var curA: String = null
+          private var prevB: String = null
+          private var kept = 0
+          private var nextPair: (String, String) = null
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && it.hasNext) {
+              val p = it.next()
+              if (p._1 != curA) { curA = p._1; prevB = null; kept = 0 }
+              if (p._2 != prevB && kept < cap) {
+                prevB = p._2; kept += 1; nextPair = p
+              } else prevB = p._2
+            }
+          }
+          advance()
+          def hasNext: Boolean = nextPair != null
+          def next(): (String, String) = { val r = nextPair; advance(); r }
+        }
+      }.toDF("a", "b")
     (domainCap(spark, capped, conf).as[CandPair], dropped)
   }
 
@@ -742,13 +769,13 @@ object DedupPipeline {
     val embAcc = spark.sparkContext.longAccumulator("graft.verify.embNanos")
     val spanAcc = spark.sparkContext.longAccumulator("graft.verify.spanNanos")
     val verdictDf = stage("06_verdicts") {
-      // full norm, not repNorm: verifyStage only joins `norm` by the pair
-      // urls, and every pair url is an exact-group rep, so the reps
-      // semi-join changes nothing about the result — dropping it removes
-      // a norm⋈reps join from each of the three per-text subtrees (emb
-      // doc join + both span text joins) and lets those probes read the
-      // persisted 01_norm parquet directly with column pruning.
-      verifyStage(spark, cands, sigs, normDf.as[DocNorm], conf, Some(embAcc), Some(spanAcc)).toDF()
+      // repNorm, not the full norm: the span-text relations ship whole
+      // through their SHUFFLE_HASH exchanges, so restricting them to
+      // exact-group reps (187k of 450k rows at the scaling corpus) cuts
+      // those exchanges ~2.4x — measured +10% on 06_verdicts when this
+      // was briefly swapped to the full norm in r06. Results identical
+      // either way (pair urls are always reps).
+      verifyStage(spark, cands, sigs, repNorm, conf, Some(embAcc), Some(spanAcc)).toDF()
     }
     // summed task time of the per-text learners — the evidence behind the
     // span/embedding budgets. Only set when the stage actually ran: a

@@ -119,7 +119,10 @@ object IncrementalDedup {
       val dir = s"$incDir/$name"
       if (resume && stageDone(spark, dir, marker)) spark.read.parquet(dir)
       else {
-        compute.write.mode(SaveMode.Overwrite).parquet(dir)
+        // job labels as in DedupPipeline.run (guide §1.5)
+        spark.sparkContext.setJobDescription(s"incremental: $name")
+        try compute.write.mode(SaveMode.Overwrite).parquet(dir)
+        finally spark.sparkContext.setJobDescription(null)
         markStage(spark, dir, marker)
         spark.read.parquet(dir)
       }
