@@ -55,6 +55,36 @@ class CCSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dictionary-encoded loop is bit-identical to the direct loop") {
+    import spark.implicits._
+    // the r06 size gate keeps small graphs on the direct path; pin BOTH
+    // paths explicitly on the same input (random + path + planted cliques)
+    // and require exact agreement with each other and the union-find
+    val rng = new DetRng(81)
+    val rand = (0 until 400).map(_ => (s"v${rng.nextInt(120)}", s"v${rng.nextInt(120)}"))
+      .filter(e => e._1 != e._2)
+    val path = (0 until 40).map(i => (f"p${i}%03d", f"p${i + 1}%03d"))
+    val clique = for (i <- 0 until 8; j <- (i + 1) until 8) yield (s"c$i", s"c$j")
+    val edges = rand ++ path ++ clique
+    val expected = unionFind(edges)
+    val direct = ConnectedComponents.run(spark, edges.toDF("a", "b"),
+        forceIdEncoding = Some(false)).as[(String, String)].collect().toMap
+    val encoded = ConnectedComponents.run(spark, edges.toDF("a", "b"),
+        forceIdEncoding = Some(true)).as[(String, String)].collect().toMap
+    assert(direct == expected)
+    assert(encoded == expected)
+  }
+
+  test("dictionary-encoded loop handles numeric vertex keys") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L + 0L), (7L, 8L), (8L, 9L))
+      .filter(e => e._1 != e._2)
+    val got = ConnectedComponents.run(spark, edges.toDF("a", "b"),
+        forceIdEncoding = Some(true)).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("CC is invariant under edge order and partition count") {
     import spark.implicits._
     val rng = new DetRng(78)
